@@ -1,0 +1,147 @@
+"""ctypes bindings for the native MPEG-4 front-end (codec/native).
+
+`VideoReader` is the host-side contract of the codec layer: open once, read
+per-GOP (decoded BGR frames + dense MV maps) exactly once, feed device
+kernels.  Replaces the reference `coviar` module's per-frame full-file decode
+(coviar_data_loader.c:520-575) with O(GOP) random access.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libcoviar_tpu.so")
+
+
+def _build_native():
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                   capture_output=True)
+
+
+@functools.lru_cache(maxsize=None)
+def _lib():
+    if not os.path.exists(_LIB_PATH):
+        _build_native()
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.cv_open.restype = ctypes.c_void_p
+    lib.cv_open.argtypes = [ctypes.c_char_p]
+    lib.cv_close.argtypes = [ctypes.c_void_p]
+    lib.cv_error.restype = ctypes.c_char_p
+    lib.cv_error.argtypes = [ctypes.c_void_p]
+    for fn in ("cv_ok", "cv_width", "cv_height", "cv_num_frames",
+               "cv_num_gops"):
+        getattr(lib, fn).restype = ctypes.c_int
+        getattr(lib, fn).argtypes = [ctypes.c_void_p]
+    lib.cv_gop_len.restype = ctypes.c_int
+    lib.cv_gop_len.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.cv_decode_gop.restype = ctypes.c_int
+    lib.cv_decode_gop.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int]
+    lib.cv_encode_mpeg4.restype = ctypes.c_int
+    lib.cv_encode_mpeg4.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64]
+    return lib
+
+
+class VideoReader:
+    """One compressed video, demuxed once, GOP-level random access.
+
+    Thread-safe: the native handle is only mutated under `_lock` and all
+    state lives in the handle (no process globals, unlike the reference).
+    """
+
+    def __init__(self, path, cache_gops=2):
+        self._lib = _lib()
+        self._handle = self._lib.cv_open(os.fspath(path).encode())
+        self._lock = threading.Lock()
+        if not self._lib.cv_ok(self._handle):
+            err = self._lib.cv_error(self._handle).decode()
+            self._lib.cv_close(self._handle)
+            self._handle = None
+            raise IOError(f"cannot open {path}: {err}")
+        self.width = self._lib.cv_width(self._handle)
+        self.height = self._lib.cv_height(self._handle)
+        self.num_frames = self._lib.cv_num_frames(self._handle)
+        self.num_gops = self._lib.cv_num_gops(self._handle)
+        self._cache = {}
+        self._cache_order = []
+        self._cache_gops = cache_gops
+
+    def gop_len(self, gop):
+        return self._lib.cv_gop_len(self._handle, gop)
+
+    def decode_gop(self, gop):
+        """Decode one GOP -> (frames_bgr (T,H,W,3) uint8, mv_maps (T,H,W,2) int16).
+
+        Small LRU keeps recently decoded GOPs (TSN often samples several
+        frames from the same GOP).
+        """
+        with self._lock:
+            if gop in self._cache:
+                return self._cache[gop]
+        n = self.gop_len(gop)
+        if n <= 0:
+            raise IndexError(f"gop {gop} out of range (num_gops={self.num_gops})")
+        frames = np.zeros((n, self.height, self.width, 3), np.uint8)
+        mv_maps = np.zeros((n, self.height, self.width, 2), np.int16)
+        with self._lock:
+            got = self._lib.cv_decode_gop(
+                self._handle, gop,
+                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+        if got < 0:
+            raise IOError(f"decode failed for gop {gop}: "
+                          f"{self._lib.cv_error(self._handle).decode()}")
+        frames, mv_maps = frames[:got], mv_maps[:got]
+        with self._lock:
+            self._cache[gop] = (frames, mv_maps)
+            self._cache_order.append(gop)
+            while len(self._cache_order) > self._cache_gops:
+                old = self._cache_order.pop(0)
+                if old != gop:
+                    self._cache.pop(old, None)
+        return frames, mv_maps
+
+    def close(self):
+        if self._handle is not None:
+            self._lib.cv_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def encode_mpeg4(path, frames_bgr, gop_size=12, bit_rate=640_000):
+    """Encode (T, H, W, 3) uint8 BGR frames to an MPEG-4 part-2 .avi file.
+
+    Mirrors the reference dataset prep (`-c:v mpeg4 ... -b:v 640k`,
+    code/dmcnet_I3D/dataset/HMDB51/scripts/convert_videos.py:55) without
+    needing the ffmpeg CLI; used by tests and synthetic benchmarks.
+    """
+    frames_bgr = np.ascontiguousarray(frames_bgr, dtype=np.uint8)
+    t, h, w, _ = frames_bgr.shape
+    rc = _lib().cv_encode_mpeg4(
+        os.fspath(path).encode(),
+        frames_bgr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t, h, w, gop_size, bit_rate)
+    if rc != 0:
+        raise IOError(f"mpeg4 encode failed with code {rc}")

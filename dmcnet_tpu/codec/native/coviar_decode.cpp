@@ -1,0 +1,356 @@
+// dmcnet_tpu native codec front-end.
+//
+// CPU side of the codec layer: MPEG-4 (part 2) demux + entropy decode via
+// FFmpeg libav*, exporting, per GOP, the decoded BGR frames and DENSE
+// per-frame motion-vector maps.  Everything O(W*H*GOP) (back-tracing,
+// residual accumulation) happens on the TPU (see codec/accumulate.py).
+//
+// Differences from the reference C extension
+// (/root/reference/code/dmcnet/data_loader/coviar_data_loader.c), by design:
+//   * the reference re-parses the file from byte 0 for EVERY load() call and
+//     keeps the filename in a process-global (thread-unsafe); here a handle
+//     owns all state (thread-safe by isolation), packets are demuxed once and
+//     indexed by GOP, and a GOP is decoded exactly once for all its frames.
+//   * demuxing goes through avformat (works for mp4/avi/raw), with a raw
+//     elementary-stream parser fallback, instead of raw fopen only.
+//   * also provides an MPEG-4 encoder entry point so tests can synthesize
+//     real bitstreams without the ffmpeg CLI.
+//
+// Exposed as a plain C ABI consumed via ctypes (codec/mpeg4.py).
+
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libavutil/motion_vector.h>
+#include <libavutil/opt.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct Packet {
+  std::vector<uint8_t> data;
+  int flags = 0;
+};
+
+struct Handle {
+  // All demuxed video packets, in decode order, grouped by GOP.
+  std::vector<Packet> packets;
+  std::vector<int> gop_start;  // packet index of each GOP's keyframe
+  int width = 0;
+  int height = 0;
+  std::string error;
+};
+
+void set_error(Handle* h, const std::string& msg) { h->error = msg; }
+
+// Demux every video packet into memory (videos here are ~1 MB re-encodes;
+// trading memory for random GOP access is the whole point).
+bool demux_all(Handle* h, const char* path) {
+  AVFormatContext* fmt = nullptr;
+  if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) {
+    set_error(h, std::string("avformat_open_input failed: ") + path);
+    return false;
+  }
+  if (avformat_find_stream_info(fmt, nullptr) < 0) {
+    avformat_close_input(&fmt);
+    set_error(h, "avformat_find_stream_info failed");
+    return false;
+  }
+  int vstream = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
+  if (vstream < 0) {
+    avformat_close_input(&fmt);
+    set_error(h, "no video stream");
+    return false;
+  }
+  AVCodecParameters* par = fmt->streams[vstream]->codecpar;
+  h->width = par->width;
+  h->height = par->height;
+
+  AVPacket* pkt = av_packet_alloc();
+  while (av_read_frame(fmt, pkt) >= 0) {
+    if (pkt->stream_index == vstream && pkt->size > 0) {
+      Packet p;
+      p.data.assign(pkt->data, pkt->data + pkt->size);
+      p.flags = pkt->flags;
+      if (pkt->flags & AV_PKT_FLAG_KEY) h->gop_start.push_back((int)h->packets.size());
+      h->packets.push_back(std::move(p));
+    }
+    av_packet_unref(pkt);
+  }
+  av_packet_free(&pkt);
+  avformat_close_input(&fmt);
+  if (h->packets.empty()) {
+    set_error(h, "no video packets");
+    return false;
+  }
+  if (h->gop_start.empty()) h->gop_start.push_back(0);
+  return true;
+}
+
+// Rasterize one frame's exported motion vectors into a dense (H, W, 2) int16
+// map — the same per-block, boundary-clipped write the reference performs
+// (coviar_data_loader.c:88-124), in the same iteration order so overlapping
+// blocks resolve identically.
+void rasterize(const AVMotionVector* mvs, int n, int width, int height,
+               int16_t* out /* zeroed (H, W, 2) */) {
+  for (int i = 0; i < n; ++i) {
+    const AVMotionVector* mv = &mvs[i];
+    int val_x = mv->dst_x - mv->src_x;
+    int val_y = mv->dst_y - mv->src_y;
+    if (val_x == 0 && val_y == 0) continue;
+    for (int x_start = -mv->w / 2; x_start < mv->w / 2; ++x_start) {
+      for (int y_start = -mv->h / 2; y_start < mv->h / 2; ++y_start) {
+        int p_dst_x = mv->dst_x + x_start;
+        int p_dst_y = mv->dst_y + y_start;
+        int p_src_x = mv->src_x + x_start;
+        int p_src_y = mv->src_y + y_start;
+        if (p_dst_y >= 0 && p_dst_y < height && p_dst_x >= 0 && p_dst_x < width &&
+            p_src_y >= 0 && p_src_y < height && p_src_x >= 0 && p_src_x < width) {
+          out[(p_dst_y * width + p_dst_x) * 2 + 0] = (int16_t)val_x;
+          out[(p_dst_y * width + p_dst_x) * 2 + 1] = (int16_t)val_y;
+        }
+      }
+    }
+  }
+}
+
+struct Decoder {
+  AVCodecContext* ctx = nullptr;
+  SwsContext* sws = nullptr;
+
+  bool init(int export_mvs) {
+    const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_MPEG4);
+    if (!codec) return false;
+    ctx = avcodec_alloc_context3(codec);
+    if (!ctx) return false;
+    AVDictionary* opts = nullptr;
+    if (export_mvs) av_dict_set(&opts, "flags2", "+export_mvs", 0);
+    int ret = avcodec_open2(ctx, codec, &opts);
+    av_dict_free(&opts);
+    return ret >= 0;
+  }
+
+  ~Decoder() {
+    if (sws) sws_freeContext(sws);
+    if (ctx) avcodec_free_context(&ctx);
+  }
+
+  // Convert a decoded frame to tightly packed BGR24 into `dst`.
+  void to_bgr(const AVFrame* frame, uint8_t* dst) {
+    sws = sws_getCachedContext(sws, frame->width, frame->height,
+                               (AVPixelFormat)frame->format, frame->width,
+                               frame->height, AV_PIX_FMT_BGR24, SWS_BICUBIC,
+                               nullptr, nullptr, nullptr);
+    uint8_t* dst_data[4] = {dst, nullptr, nullptr, nullptr};
+    int dst_linesize[4] = {frame->width * 3, 0, 0, 0};
+    sws_scale(sws, frame->data, frame->linesize, 0, frame->height, dst_data,
+              dst_linesize);
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Handle lifecycle
+// ---------------------------------------------------------------------------
+
+void* cv_open(const char* path) {
+  auto* h = new Handle();
+  if (!demux_all(h, path)) {
+    // Keep the handle so the caller can read the error, but mark it bad by
+    // leaving packets empty.
+  }
+  return h;
+}
+
+void cv_close(void* handle) { delete static_cast<Handle*>(handle); }
+
+const char* cv_error(void* handle) {
+  return static_cast<Handle*>(handle)->error.c_str();
+}
+
+int cv_ok(void* handle) {
+  return static_cast<Handle*>(handle)->packets.empty() ? 0 : 1;
+}
+
+int cv_width(void* handle) { return static_cast<Handle*>(handle)->width; }
+int cv_height(void* handle) { return static_cast<Handle*>(handle)->height; }
+
+// Packet count == frame count for the no-B-frame MPEG-4 streams this targets,
+// matching the reference's parser-packet counting (coviar_data_loader.c:486).
+int cv_num_frames(void* handle) {
+  return (int)static_cast<Handle*>(handle)->packets.size();
+}
+
+int cv_num_gops(void* handle) {
+  return (int)static_cast<Handle*>(handle)->gop_start.size();
+}
+
+// Number of frames (packets) in one GOP.
+int cv_gop_len(void* handle, int gop) {
+  auto* h = static_cast<Handle*>(handle);
+  if (gop < 0 || gop >= (int)h->gop_start.size()) return 0;
+  int begin = h->gop_start[gop];
+  int end = (gop + 1 < (int)h->gop_start.size()) ? h->gop_start[gop + 1]
+                                                 : (int)h->packets.size();
+  return end - begin;
+}
+
+// Decode one GOP: fills `frames_bgr` (max_frames, H, W, 3) uint8 and
+// `mv_maps` (max_frames, H, W, 2) int16 (zero-filled by callee), returns the
+// number of frames decoded (<= max_frames), or -1 on error.
+int cv_decode_gop(void* handle, int gop, uint8_t* frames_bgr, int16_t* mv_maps,
+                  int max_frames) {
+  auto* h = static_cast<Handle*>(handle);
+  if (!cv_ok(handle) || gop < 0 || gop >= (int)h->gop_start.size()) return -1;
+  int begin = h->gop_start[gop];
+  int end = (gop + 1 < (int)h->gop_start.size()) ? h->gop_start[gop + 1]
+                                                 : (int)h->packets.size();
+
+  Decoder dec;
+  if (!dec.init(/*export_mvs=*/1)) {
+    set_error(h, "decoder init failed");
+    return -1;
+  }
+
+  const size_t frame_px = (size_t)h->width * h->height;
+  std::memset(frames_bgr, 0, (size_t)max_frames * frame_px * 3);
+  std::memset(mv_maps, 0, (size_t)max_frames * frame_px * 2 * sizeof(int16_t));
+
+  AVPacket* pkt = av_packet_alloc();
+  AVFrame* frame = av_frame_alloc();
+  int out_idx = 0;
+
+  auto drain = [&](bool flush) -> bool {
+    while (true) {
+      int ret = avcodec_receive_frame(dec.ctx, frame);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return true;
+      if (ret < 0) return false;
+      if (out_idx < max_frames) {
+        dec.to_bgr(frame, frames_bgr + (size_t)out_idx * frame_px * 3);
+        AVFrameSideData* sd =
+            av_frame_get_side_data(frame, AV_FRAME_DATA_MOTION_VECTORS);
+        if (sd) {
+          rasterize((const AVMotionVector*)sd->data,
+                    (int)(sd->size / sizeof(AVMotionVector)), h->width,
+                    h->height, mv_maps + (size_t)out_idx * frame_px * 2);
+        }
+      }
+      ++out_idx;
+      av_frame_unref(frame);
+      (void)flush;
+    }
+  };
+
+  bool ok = true;
+  for (int p = begin; p < end && ok; ++p) {
+    pkt->data = h->packets[p].data.data();
+    pkt->size = (int)h->packets[p].data.size();
+    if (avcodec_send_packet(dec.ctx, pkt) < 0) ok = false;
+    if (ok) ok = drain(false);
+  }
+  if (ok) {
+    avcodec_send_packet(dec.ctx, nullptr);  // flush
+    ok = drain(true);
+  }
+
+  av_frame_free(&frame);
+  pkt->data = nullptr;
+  pkt->size = 0;
+  av_packet_free(&pkt);
+  if (!ok) {
+    set_error(h, "decode error");
+    return -1;
+  }
+  return out_idx < max_frames ? out_idx : max_frames;
+}
+
+// ---------------------------------------------------------------------------
+// Test-support encoder: raw BGR frames -> MPEG-4 (part 2) .avi
+// ---------------------------------------------------------------------------
+
+int cv_encode_mpeg4(const char* path, const uint8_t* frames_bgr, int num_frames,
+                    int height, int width, int gop_size, int64_t bit_rate) {
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) return -1;
+
+  AVFormatContext* fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, "avi", path) < 0) return -2;
+  AVStream* stream = avformat_new_stream(fmt, nullptr);
+
+  AVCodecContext* ctx = avcodec_alloc_context3(codec);
+  ctx->width = width;
+  ctx->height = height;
+  ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  ctx->time_base = AVRational{1, 25};
+  ctx->gop_size = gop_size;
+  ctx->max_b_frames = 0;
+  ctx->bit_rate = bit_rate;
+  if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+    ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(ctx, codec, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(stream->codecpar, ctx);
+  stream->time_base = ctx->time_base;
+
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0) return -4;
+  }
+  if (avformat_write_header(fmt, nullptr) < 0) return -5;
+
+  SwsContext* sws = sws_getContext(width, height, AV_PIX_FMT_BGR24, width,
+                                   height, AV_PIX_FMT_YUV420P, SWS_BICUBIC,
+                                   nullptr, nullptr, nullptr);
+  AVFrame* frame = av_frame_alloc();
+  frame->format = AV_PIX_FMT_YUV420P;
+  frame->width = width;
+  frame->height = height;
+  av_frame_get_buffer(frame, 0);
+  AVPacket* pkt = av_packet_alloc();
+
+  auto write_out = [&]() -> bool {
+    while (true) {
+      int ret = avcodec_receive_packet(ctx, pkt);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return true;
+      if (ret < 0) return false;
+      av_packet_rescale_ts(pkt, ctx->time_base, stream->time_base);
+      pkt->stream_index = stream->index;
+      if (av_interleaved_write_frame(fmt, pkt) < 0) return false;
+    }
+  };
+
+  int rc = 0;
+  for (int t = 0; t < num_frames && rc == 0; ++t) {
+    av_frame_make_writable(frame);
+    const uint8_t* src_data[4] = {
+        frames_bgr + (size_t)t * width * height * 3, nullptr, nullptr, nullptr};
+    int src_linesize[4] = {width * 3, 0, 0, 0};
+    sws_scale(sws, src_data, src_linesize, 0, height, frame->data,
+              frame->linesize);
+    frame->pts = t;
+    if (avcodec_send_frame(ctx, frame) < 0 || !write_out()) rc = -6;
+  }
+  if (rc == 0) {
+    avcodec_send_frame(ctx, nullptr);
+    if (!write_out()) rc = -7;
+  }
+  av_write_trailer(fmt);
+
+  av_packet_free(&pkt);
+  av_frame_free(&frame);
+  sws_freeContext(sws);
+  avcodec_free_context(&ctx);
+  if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
+  avformat_free_context(fmt);
+  return rc;
+}
+
+}  // extern "C"

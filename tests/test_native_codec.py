@@ -1,0 +1,105 @@
+"""Round-trip tests for the native MPEG-4 front-end.
+
+Encode synthetic frames with the in-library MPEG-4 encoder, then decode with
+the GOP reader and validate structure, motion recovery, and the coviar-compat
+API surface.
+"""
+
+import numpy as np
+import pytest
+
+from dmcnet_tpu.codec import coviar_compat
+from dmcnet_tpu.codec.accumulate import gop_mv_residual
+from dmcnet_tpu.codec.mpeg4 import VideoReader, encode_mpeg4
+
+
+def _textured_frames(rng, t, h, w, shift_per_frame=(2, 1)):
+    """Frames with rich texture translating by a constant shift per frame."""
+    pad = 64
+    canvas = rng.integers(0, 256, size=(h + 2 * pad, w + 2 * pad, 3))
+    canvas = canvas.astype(np.uint8)
+    # Blur-ish: average pooling over 4x4 to make motion estimation stable.
+    c = canvas.astype(np.float32)
+    c = (c[0::2, 0::2] + c[1::2, 0::2] + c[0::2, 1::2] + c[1::2, 1::2]) / 4
+    canvas = np.kron(c, np.ones((2, 2, 1))).astype(np.uint8)
+    frames = []
+    for i in range(t):
+        ox = pad + shift_per_frame[0] * i
+        oy = pad + shift_per_frame[1] * i
+        frames.append(canvas[oy:oy + h, ox:ox + w])
+    return np.stack(frames)
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    rng = np.random.default_rng(7)
+    path = tmp_path_factory.mktemp("vid") / "synthetic.avi"
+    frames = _textured_frames(rng, t=24, h=128, w=192)
+    encode_mpeg4(path, frames, gop_size=12, bit_rate=4_000_000)
+    return str(path), frames
+
+
+def test_structure(video):
+    path, frames = video
+    with VideoReader(path) as r:
+        assert r.width == 192 and r.height == 128
+        assert r.num_frames == 24
+        assert r.num_gops == 2
+        assert r.gop_len(0) + r.gop_len(1) == 24
+
+
+def test_decoded_frames_close(video):
+    path, frames = video
+    with VideoReader(path) as r:
+        dec, _ = r.decode_gop(0)
+        assert dec.shape == (r.gop_len(0), 128, 192, 3)
+        err = np.abs(dec[0].astype(int) - frames[0].astype(int)).mean()
+        assert err < 12.0, f"I-frame decode error too high: {err}"
+
+
+def test_iframe_has_no_motion(video):
+    path, _ = video
+    with VideoReader(path) as r:
+        _, mv_maps = r.decode_gop(0)
+        assert (mv_maps[0] == 0).all()
+
+
+def test_accumulated_mv_recovers_translation(video):
+    """The crop window moves by (+2, +1)/frame, so scene content moves by
+    (-2, -1)/frame: accumulated MV at frame t should be close to (-2t, -t)
+    over interior pixels."""
+    path, _ = video
+    with VideoReader(path) as r:
+        frames, mv_maps = r.decode_gop(0)
+        mv, _ = gop_mv_residual(mv_maps, frames, accumulate=True)
+        mv = np.asarray(mv)
+        t = 6
+        interior = mv[t, 32:-32, 32:-32]
+        med_x = np.median(interior[..., 0])
+        med_y = np.median(interior[..., 1])
+        assert abs(med_x + 2 * t) <= 2, (med_x, -2 * t)
+        assert abs(med_y + 1 * t) <= 2, (med_y, -t)
+
+
+def test_residual_smaller_than_frame_diff(video):
+    """Motion-compensated residual must beat the raw frame difference."""
+    path, _ = video
+    with VideoReader(path) as r:
+        frames, mv_maps = r.decode_gop(0)
+        _, res = gop_mv_residual(mv_maps, frames, accumulate=True)
+        t = 6
+        raw_diff = np.abs(frames[t].astype(int) - frames[0].astype(int)).mean()
+        comp_diff = np.abs(np.asarray(res)[t]).mean()
+        assert comp_diff < raw_diff * 0.5, (comp_diff, raw_diff)
+
+
+def test_coviar_compat_api(video):
+    path, _ = video
+    assert coviar_compat.get_num_frames(path) == 24
+    assert coviar_compat.get_num_gops(path) == 2
+    mv = coviar_compat.load(path, 0, 3, coviar_compat.MV, True)
+    assert mv.shape == (128, 192, 2) and mv.dtype == np.int32
+    res = coviar_compat.load(path, 0, 3, coviar_compat.RESIDUAL, True)
+    assert res.shape == (128, 192, 3) and res.dtype == np.int32
+    iframe = coviar_compat.load(path, 1, 0, coviar_compat.IFRAME, True)
+    assert iframe.shape == (128, 192, 3) and iframe.dtype == np.uint8
