@@ -1,0 +1,164 @@
+"""DMC generator networks (MV + residual -> discriminative motion cue).
+
+Channel plans match the reference generators exactly
+(/root/reference/code/dmcnet/model.py:45-250); layout is NHWC and all convs
+are stride-1 3x3 so every op is SAME-padded and MXU/VPU friendly.
+
+Families:
+  * ContextNetwork(-Att): 7 dilated-conv stages (dilations 1-2-4-8-16-1-1,
+    BN + LeakyReLU 0.1), optional 2-channel attention head (model.py:45-104).
+  * EstimatorDenseNet{,Small,Tiny}: five dense-concat stages with channel
+    plans 128/128/96/64/32, 32/32/24/16/8, 8/8/6/4/2 then a 2-channel flow
+    head (model.py:122-194).
+  * Tiny early-fusion variants: separate 3x3 stems for MV (2ch) and residual
+    (3ch) merged by sum or stack (model.py:197-250).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dmcnet_tpu.models.layers import batch_norm, conv3x3
+
+_LEAKY_SLOPE = 0.1
+
+
+class _DilatedStage(nn.Module):
+    """conv(3x3, dilated) [+ BN] + LeakyReLU(0.1) (reference conv_dilation)."""
+
+    features: int
+    dilation: int = 1
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        x = conv3x3(self.features, dilation=self.dilation,
+                    use_bias=not self.use_bn, name="conv")(x)
+        if self.use_bn:
+            x = batch_norm(train, name="bn")(x)
+        return nn.leaky_relu(x, negative_slope=_LEAKY_SLOPE)
+
+
+class ContextNetwork(nn.Module):
+    """Dilated-conv generator; dilation plan 1-2-4-8-16-1-1 (or 1-2-4-8-1-1-1
+    when generating at reduced resolution, reference model.py:45-67)."""
+
+    batch_norm: bool = True
+    gen_flow_ds_factor: int = 0
+
+    def _dilations(self) -> Sequence[int]:
+        return (1, 2, 4, 8, 1, 1, 1) if self.gen_flow_ds_factor else (
+            1, 2, 4, 8, 16, 1, 1)
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        widths = (32, 128, 128, 96, 64, 32, 2)
+        for i, (w, d) in enumerate(zip(widths, self._dilations())):
+            x = _DilatedStage(w, d, self.batch_norm, name=f"stage_{i}")(
+                x, train=train)
+        return x
+
+
+class ContextNetworkAtt(nn.Module):
+    """ContextNetwork trunk + separate flow and attention heads
+    (reference model.py:74-104); attention head ends in ReLU."""
+
+    batch_norm: bool = True
+    gen_flow_ds_factor: int = 0
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        dils = (1, 2, 4, 8, 1, 1) if self.gen_flow_ds_factor else (
+            1, 2, 4, 8, 16, 1)
+        widths = (32, 128, 128, 96, 64, 32)
+        for i, (w, d) in enumerate(zip(widths, dils)):
+            x = _DilatedStage(w, d, self.batch_norm, name=f"stage_{i}")(
+                x, train=train)
+        flow = _DilatedStage(2, 1, self.batch_norm, name="predict_flow")(
+            x, train=train)
+        att = _DilatedStage(2, 1, self.batch_norm, name="predict_att")(
+            x, train=train)
+        return flow, nn.relu(att)
+
+
+class _DenseEstimator(nn.Module):
+    """Dense-connectivity estimator: each stage consumes the concat of all
+    previous activations and the input (reference model.py:122-194)."""
+
+    widths: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        del train  # no BN in the dense estimators
+        for i, w in enumerate(self.widths):
+            y = conv3x3(w, name=f"conv_{i}")(x)
+            y = nn.leaky_relu(y, negative_slope=_LEAKY_SLOPE)
+            x = jnp.concatenate([y, x], axis=-1)
+        return conv3x3(2, name="predict_flow")(x)
+
+
+class EstimatorDenseNet(_DenseEstimator):
+    widths: Sequence[int] = (128, 128, 96, 64, 32)
+
+
+class EstimatorDenseNetSmall(_DenseEstimator):
+    widths: Sequence[int] = (32, 32, 24, 16, 8)
+
+
+class EstimatorDenseNetTiny(_DenseEstimator):
+    widths: Sequence[int] = (8, 8, 6, 4, 2)
+
+
+class _EarlyFusionTiny(nn.Module):
+    """Tiny estimator with separate MV/residual stems (model.py:197-250)."""
+
+    fusion: str  # 'sum' | 'stack'
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        del train
+        x_mv = nn.leaky_relu(conv3x3(8, name="conv_0_mv")(x[..., :2]),
+                             negative_slope=_LEAKY_SLOPE)
+        x_r = nn.leaky_relu(conv3x3(8, name="conv_0_r")(x[..., 2:]),
+                            negative_slope=_LEAKY_SLOPE)
+        if self.fusion == "sum":
+            x = x_mv + x_r
+        else:
+            x = jnp.concatenate([x_mv, x_r], axis=-1)
+        for i, w in enumerate((8, 6, 4, 2), start=1):
+            y = conv3x3(w, name=f"conv_{i}")(x)
+            y = nn.leaky_relu(y, negative_slope=_LEAKY_SLOPE)
+            x = jnp.concatenate([y, x], axis=-1)
+        return conv3x3(2, name="predict_flow")(x)
+
+
+class EstimatorDenseNetTinyEarlyFusionSum(_EarlyFusionTiny):
+    fusion: str = "sum"
+
+
+class EstimatorDenseNetTinyEarlyFusionStack(_EarlyFusionTiny):
+    fusion: str = "stack"
+
+
+_ESTIMATORS = {
+    "ContextNetwork": ContextNetwork,
+    "DenseNet": EstimatorDenseNet,
+    "DenseNetSmall": EstimatorDenseNetSmall,
+    "DenseNetTiny": EstimatorDenseNetTiny,
+    "DenseNetTinyEarlyFusionSum": EstimatorDenseNetTinyEarlyFusionSum,
+    "DenseNetTinyEarlyFusionStack": EstimatorDenseNetTinyEarlyFusionStack,
+}
+
+
+def make_estimator(arch_estimator, att=0, gen_flow_ds_factor=0):
+    """Estimator factory matching reference name selection (model.py:311-325)."""
+    if arch_estimator == "ContextNetwork":
+        cls = ContextNetworkAtt if att else ContextNetwork
+        return cls(gen_flow_ds_factor=gen_flow_ds_factor)
+    try:
+        return _ESTIMATORS[arch_estimator]()
+    except KeyError:
+        raise ValueError(f"unknown arch_estimator {arch_estimator!r}") from None

@@ -1,0 +1,80 @@
+"""ResNet classifier backbone (torchvision-compatible structure, NHWC).
+
+The reference uses torchvision's pretrained ResNet-18/152 with two TSN
+surgeries (code/dmcnet/model.py:283-299): `conv1` swapped for a
+2*new_length-channel input conv when classifying MV/flow, and `fc` replaced
+by a num_class head.  This implementation reproduces the torchvision
+BasicBlock graph exactly (including floor-mode stride-2 geometry) so the
+released `.pth` weights can be imported tensor-for-tensor, while running in
+NHWC with fused XLA convs on the MXU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dmcnet_tpu.models.layers import batch_norm, torch_pad
+
+
+class BasicBlock(nn.Module):
+    """torchvision BasicBlock: 3x3-BN-ReLU-3x3-BN + identity/downsample."""
+
+    features: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        identity = x
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
+                    padding=torch_pad(1), use_bias=False, name="conv1")(x)
+        y = batch_norm(train, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=torch_pad(1),
+                    use_bias=False, name="conv2")(y)
+        y = batch_norm(train, name="bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = nn.Conv(self.features, (1, 1),
+                               strides=(self.stride,) * 2, use_bias=False,
+                               name="downsample_conv")(x)
+            identity = batch_norm(train, name="downsample_bn")(identity)
+        return nn.relu(y + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet-18/34 family (BasicBlock); returns logits.
+
+    Args mirror the TSN surgeries: `in_channels` (2*new_length for MV/flow,
+    3 for iframe/residual) and `num_classes`.
+    """
+
+    num_classes: int
+    stage_sizes: Sequence[int] = (2, 2, 2, 2)
+    widths: Sequence[int] = (64, 128, 256, 512)
+    in_channels: int = 3  # informational; inferred from input at init
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=torch_pad(3),
+                    use_bias=False, name="conv1")(x)
+        x = batch_norm(train, name="bn1")(x)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, 2, padding=1), floor mode.
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        for stage, (n_blocks, w) in enumerate(
+                zip(self.stage_sizes, self.widths)):
+            for block in range(n_blocks):
+                stride = 2 if (stage > 0 and block == 0) else 1
+                x = BasicBlock(w, stride,
+                               name=f"layer{stage + 1}_{block}")(x, train)
+        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
+        return nn.Dense(self.num_classes, name="fc")(x)
+
+
+resnet18 = partial(ResNet, stage_sizes=(2, 2, 2, 2), widths=(64, 128, 256, 512))
+resnet34 = partial(ResNet, stage_sizes=(3, 4, 6, 3), widths=(64, 128, 256, 512))

@@ -1,0 +1,102 @@
+"""Train-step semantics: loss routing, freeze phase, optimizer grouping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dmcnet_tpu.models import DMCNet
+from dmcnet_tpu.train.engine import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from dmcnet_tpu.train.optimizers import (
+    decay_mult_tree,
+    lr_mult_tree,
+    step_decay_lr,
+)
+
+B, S, H, W = 2, 2, 32, 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = DMCNet(num_class=5, num_segments=S,
+                   arch_estimator="DenseNetTiny", gen_flow_or_delta=1)
+    rng = np.random.default_rng(0)
+    batch = {
+        "mv": jnp.asarray(rng.normal(size=(B, S, H, W, 2)), jnp.float32),
+        "residual": jnp.asarray(rng.normal(size=(B, S, H, W, 3)), jnp.float32),
+        "flow": jnp.asarray(rng.normal(size=(B, S, H, W, 2)), jnp.float32),
+        "label": jnp.asarray([0, 3]),
+    }
+    state, opts = create_train_state(
+        model, jax.random.key(0), batch, lr_cls_mult=0.01, lr_mse_mult=0.01)
+    step = make_train_step(model, opts, num_segments=S, lr_cls_w=1.0,
+                           lr_mse_w=1.0)
+    return model, batch, state, opts, step
+
+
+def test_step_decay_lr():
+    assert step_decay_lr(0.01, 0, [200, 300, 400], 0.1) == 0.01
+    assert np.isclose(step_decay_lr(0.01, 250, [200, 300, 400], 0.1), 0.001)
+    assert np.isclose(step_decay_lr(0.01, 450, [200, 300, 400], 0.1), 1e-5)
+
+
+def test_mult_trees(setup):
+    model, batch, state, opts, step = setup
+    lm = lr_mult_tree(state.params, {"base_model": 0.5})
+    leaves = jax.tree_util.tree_leaves_with_path(lm)
+    for path, v in leaves:
+        top = path[0].key
+        assert v == (0.5 if top == "base_model" else 0.0)
+    dm = decay_mult_tree(state.params)
+    for path, v in jax.tree_util.tree_leaves_with_path(dm):
+        assert v == (0.0 if path[-1].key == "bias" else 1.0)
+
+
+def test_train_step_updates_and_freeze(setup):
+    model, batch, state, opts, step = setup
+    rng = jax.random.key(1)
+
+    # Frozen phase: classifier params unchanged, generator params move.
+    s1, metrics = step(state, batch, rng, jnp.float32(1e-3),
+                       jnp.float32(1e-4), jnp.asarray(False))
+    assert np.isfinite(metrics["loss"])
+    cls_same = jax.tree.map(np.allclose, s1.params["base_model"],
+                            state.params["base_model"])
+    assert all(jax.tree.leaves(cls_same))
+    gen_moved = jax.tree.map(
+        lambda a, b: not np.allclose(a, b),
+        s1.params["gen_flow_model"], state.params["gen_flow_model"])
+    assert any(jax.tree.leaves(gen_moved))
+
+    # Unfrozen: classifier moves too.
+    s2, _ = step(state, batch, rng, jnp.float32(1e-3), jnp.float32(1e-4),
+                 jnp.asarray(True))
+    cls_moved = jax.tree.map(
+        lambda a, b: not np.allclose(a, b),
+        s2.params["base_model"], state.params["base_model"])
+    assert any(jax.tree.leaves(cls_moved))
+
+
+def test_loss_decreases(setup):
+    model, batch, state, opts, step = setup
+    rng = jax.random.key(2)
+    losses = []
+    s = state
+    for i in range(8):
+        s, m = step(s, batch, jax.random.fold_in(rng, i),
+                    jnp.float32(1e-3), jnp.float32(0.0), jnp.asarray(True))
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_eval_step(setup):
+    model, batch, state, opts, step = setup
+    eval_step = make_eval_step(model, num_segments=S, lr_cls_w=1.0,
+                               lr_mse_w=1.0)
+    m = eval_step(state, batch)
+    assert m["logits"].shape == (B, 5)
+    assert 0.0 <= float(m["top1"]) <= 100.0
