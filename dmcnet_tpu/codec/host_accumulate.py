@@ -1,0 +1,50 @@
+"""Vectorized NumPy GOP accumulation for the host data pipeline.
+
+Same dense-map semantics as `accumulate.gop_mv_residual` (tested for
+bit-parity), but running in data-loader workers so decoded GOPs are
+accumulated once on the host and cached, keeping the accelerator free for
+the train step.  The device path in `accumulate.py` remains the serving /
+benchmark path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _identity(height, width):
+    xs, ys = np.meshgrid(np.arange(width, dtype=np.int32),
+                         np.arange(height, dtype=np.int32))
+    return np.stack([xs, ys], axis=-1)
+
+
+def gop_mv_residual_numpy(mv_maps, frames_bgr, accumulate=True):
+    """NumPy twin of accumulate.gop_mv_residual: (T,H,W,2|3) int32 outputs."""
+    mv_maps = np.asarray(mv_maps, np.int32)
+    frames_bgr = np.asarray(frames_bgr)
+    t, height, width, _ = mv_maps.shape
+    ident = _identity(height, width)
+
+    if accumulate:
+        accu = np.empty((t, height, width, 2), np.int32)
+        accu[0] = ident
+        cur = ident
+        for i in range(1, t):
+            src_x = np.clip(ident[..., 0] - mv_maps[i, ..., 0], 0, width - 1)
+            src_y = np.clip(ident[..., 1] - mv_maps[i, ..., 1], 0, height - 1)
+            cur = cur[src_y, src_x]
+            accu[i] = cur
+        mv = ident[None] - accu
+        base = frames_bgr[0].astype(np.int32)
+        res = frames_bgr.astype(np.int32) - base[accu[..., 1], accu[..., 0]]
+    else:
+        mv = mv_maps.copy()
+        res = np.zeros((t, height, width, 3), np.int32)
+        for i in range(1, t):
+            src_x = np.clip(ident[..., 0] - mv_maps[i, ..., 0], 0, width - 1)
+            src_y = np.clip(ident[..., 1] - mv_maps[i, ..., 1], 0, height - 1)
+            res[i] = (frames_bgr[i].astype(np.int32)
+                      - frames_bgr[i - 1].astype(np.int32)[src_y, src_x])
+    mv[0] = 0
+    res[0] = 0
+    return mv, res

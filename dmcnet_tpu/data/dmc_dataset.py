@@ -1,0 +1,281 @@
+"""CoViAR dataset for the dmcnet/dmcnet_GAN variants.
+
+Mirrors `CoviarDataSet` (/root/reference/code/dmcnet/dataset.py:76-281) with a
+TPU-first split of work:
+
+  host (this module): list parsing, TSN frame sampling, GOP decode via the
+    native front-end (once per GOP, cached), vectorized accumulation, MV
+    min-max norm / +128 uint8 encoding, flow-JPEG reads, batching into
+    fixed-size uint8 canvases, crop-spec sampling;
+  device (data.transforms): fused crop+resize+flip, /255, normalization,
+    flow blockify — one jitted kernel per batch.
+
+Faithful semantics: group channel layout [flow(2), mv(2), residual(3)]
+(dataset.py:215,224-227), train-time random video choice per item
+(dataset.py:162), per-segment random frame in TSN range, test-time segment
+centres, mv_minmaxnorm int32 truncation (GAN dataset.py:41-42), +128 clip to
+uint8 (dataset.py:195-213).
+
+Deliberate divergences (reference quirks, see SURVEY.md §2.5):
+  * representation='iframe'/'residual' use the intended channel layout
+    instead of the reference's accidental double-residual stacking;
+  * mirror negation applies to flow_x/mv_x only (never iframe colors).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_numpy
+from dmcnet_tpu.codec.mpeg4 import VideoReader
+from dmcnet_tpu.data import transforms as T
+from dmcnet_tpu.data.lists import load_video_list
+from dmcnet_tpu.data.sampling import test_frame_index, train_frame_index
+
+
+def _encode_u8(arr, minmax_bound=None):
+    """int32 -> uint8 via optional min-max scale, +128 shift, clip
+    (dataset.py:195-202; GAN int32 truncation dataset.py:41-42)."""
+    arr = np.asarray(arr)
+    if minmax_bound is not None:
+        arr = (arr.astype(np.float64) * (127.5 / minmax_bound)).astype(np.int32)
+    return np.clip(arr + 128, 0, 255).astype(np.uint8)
+
+
+class GopCache:
+    """Per-video accumulated-GOP cache: decode + accumulate once per GOP."""
+
+    def __init__(self, max_items=8):
+        self._items = {}
+        self._order = []
+        self._max = max_items
+
+    def get(self, reader, path, gop, accumulate):
+        key = (path, gop, accumulate)
+        if key in self._items:
+            return self._items[key]
+        frames, mv_maps = reader.decode_gop(gop)
+        mv, res = gop_mv_residual_numpy(mv_maps, frames, accumulate)
+        value = (frames, mv, res)
+        self._items[key] = value
+        self._order.append(key)
+        while len(self._order) > self._max:
+            self._items.pop(self._order.pop(0), None)
+        return value
+
+
+class CoviarDataset:
+    """Index-addressable dataset yielding raw group stacks.
+
+    `__getitem__` -> (frames (S, H, W, 7) uint8, label, (H, W)).
+    """
+
+    def __init__(self, data_root, flow_root, video_list, representation,
+                 num_segments=3, is_train=True, accumulate=True, gop=12,
+                 flow_ds_factor=0, upsample_interp=False, mv_minmaxnorm=0,
+                 flow_folder="tvl1", new_length=1, seed=0,
+                 items=None):
+        self.representation = representation
+        self.num_segments = num_segments
+        self.is_train = is_train
+        self.accumulate = accumulate
+        self.gop = gop
+        self.flow_ds_factor = flow_ds_factor
+        self.upsample_interp = upsample_interp
+        self.mv_minmaxnorm = mv_minmaxnorm
+        self.new_length = new_length
+        self.flow_tmpl = ("flow_{0}_{1:05d}.jpg" if flow_folder == "tvl1"
+                          else "flow_{0}_{1:05d}.png")
+        self.rng = np.random.default_rng(seed)
+        self.items = items if items is not None else load_video_list(
+            video_list, data_root, flow_root)
+        self._readers = {}
+        self._gops = GopCache()
+
+    def __len__(self):
+        return len(self.items)
+
+    def _reader(self, path):
+        if path not in self._readers:
+            self._readers[path] = VideoReader(path)
+        return self._readers[path]
+
+    def _read_flow(self, item, frame_idx):
+        """Load the (H, W, 2) uint8 precomputed flow pair (dataset.py:182-184)."""
+        from PIL import Image
+        tmpl = self.flow_tmpl
+        x = np.array(Image.open(
+            os.path.join(item.flow_path, tmpl.format("x", frame_idx)))
+            .convert("L"))
+        y = np.array(Image.open(
+            os.path.join(item.flow_path, tmpl.format("y", frame_idx)))
+            .convert("L"))
+        return np.stack([x, y], axis=-1)
+
+    def _segment_frame(self, item, gop_index, gop_pos):
+        """Build one (H, W, 7) uint8 group frame."""
+        reader = self._reader(item.path)
+        gop_index = max(0, min(gop_index, reader.num_gops - 1))
+        frames, mv_acc, res_acc = self._gops.get(
+            reader, item.path, gop_index, self.accumulate)
+        gop_pos = min(gop_pos, len(frames) - 1)
+
+        flow_idx = gop_index * self.gop + gop_pos + 1  # 1-based jpgs
+        if item.flow_path is not None:
+            flow = self._read_flow(item, flow_idx)
+        else:
+            flow = np.full(frames.shape[1:3] + (2,), 128, np.uint8)
+
+        if self.representation == "iframe":
+            mid = frames[0][..., ::-1]  # BGR -> RGB (dataset.py:207-208)
+        else:
+            bound = 20 if self.mv_minmaxnorm == 1 else None
+            mid = _encode_u8(mv_acc[gop_pos], bound)
+        residual = _encode_u8(res_acc[gop_pos])
+        return np.concatenate([flow, mid, residual], axis=-1)
+
+    def __getitem__(self, index):
+        if self.is_train:
+            item = self.items[int(self.rng.integers(len(self.items)))]
+        else:
+            item = self.items[index]
+        segs = []
+        for seg in range(self.num_segments):
+            if self.is_train:
+                gop_index, gop_pos = train_frame_index(
+                    item.num_frames, self.num_segments, seg,
+                    self.representation, self.rng, self.gop)
+            else:
+                gop_index, gop_pos = test_frame_index(
+                    item.num_frames, self.num_segments, seg,
+                    self.representation, self.gop)
+            segs.append(self._segment_frame(item, gop_index, gop_pos))
+        frames = np.stack(segs)
+        return frames, item.label, frames.shape[1:3]
+
+
+class BatchAssembler:
+    """Collates dataset items into device-ready uint8 canvases + crop specs.
+
+    Train: one MultiScaleCrop spec + coin-flip mirror per sample
+    (model.get_augmentation, reference model.py:369-378).
+    Eval: 1-crop (GroupScale+CenterCrop) or 10-crop (GroupOverSample)
+    (reference test.py:89-99).
+    """
+
+    def __init__(self, dataset, input_size=224, scale_size=256,
+                 test_crops=1, pad_hw: Optional[tuple] = None, seed=0):
+        self.ds = dataset
+        self.input_size = input_size
+        self.scale_size = scale_size
+        self.test_crops = test_crops
+        self.pad_hw = pad_hw
+        self.rng = np.random.default_rng(seed + 1)
+        rep = dataset.representation
+        self.scales = (1, .875, .75) if rep in ("mv", "residual", "flow") \
+            else (1, .875, .75, .66)
+        self.negate_channels = (0, 2) if rep != "iframe" else (0,)
+
+    def _pad(self, stacks, sizes):
+        hp = self.pad_hw[0] if self.pad_hw else max(s[0] for s in sizes)
+        wp = self.pad_hw[1] if self.pad_hw else max(s[1] for s in sizes)
+        out = np.zeros((len(stacks),) + stacks[0].shape[:1] + (hp, wp, 7),
+                       np.uint8)
+        for i, st in enumerate(stacks):
+            out[i, :, :st.shape[1], :st.shape[2]] = st
+        return out
+
+    def train_batch(self, indices):
+        stacks, labels, sizes = zip(*(self.ds[i] for i in indices))
+        frames = self._pad(stacks, sizes)
+        scales, trans, flips = [], [], []
+        for (h, w) in sizes:
+            oh, ow, ch, cw = T.sample_multiscale_crop(
+                self.rng, h, w, self.input_size, self.scales)
+            sh, sw, th, tw = T.crop_spec_to_scale_translate(
+                oh, ow, ch, cw, self.input_size)
+            scales.append((sh, sw))
+            trans.append((th, tw))
+            flips.append(self.rng.random() < 0.5)
+        return {
+            "frames": frames,
+            "scales": np.asarray(scales, np.float32),
+            "translations": np.asarray(trans, np.float32),
+            "flips": np.asarray(flips, bool),
+            "label": np.asarray(labels, np.int32),
+        }
+
+    def eval_batch(self, indices):
+        stacks, labels, sizes = zip(*(self.ds[i] for i in indices))
+        frames = self._pad(stacks, sizes)
+        scales, trans, flips = [], [], []
+        for (h, w) in sizes:
+            if self.test_crops == 1:
+                sh, sw, th, tw = T.center_crop_spec(
+                    h, w, self.scale_size, self.input_size)
+                scales.append([(sh, sw)])
+                trans.append([(th, tw)])
+                flips.append([False])
+            else:
+                specs = T.oversample_specs(h, w, self.scale_size,
+                                           self.input_size)
+                scales.append([(s[0], s[1]) for s in specs])
+                trans.append([(s[2], s[3]) for s in specs])
+                flips.append([s[4] for s in specs])
+        return {
+            "frames": frames,
+            "scales": np.asarray(scales, np.float32),      # (B, crops, 2)
+            "translations": np.asarray(trans, np.float32),  # (B, crops, 2)
+            "flips": np.asarray(flips, bool),               # (B, crops)
+            "label": np.asarray(labels, np.int32),
+        }
+
+
+def augment_train_batch(batch, representation, flow_ds_factor=0,
+                        upsample_interp=False, input_size=224,
+                        negate_channels=(0, 2)):
+    """Device-side: crop/flip + normalize a collated train batch.
+
+    Returns dict(mv, residual, flow, label) ready for the train step.
+    """
+    import jax.numpy as jnp
+
+    frames = jnp.asarray(batch["frames"]).astype(jnp.float32)
+    out = T.apply_crops(frames, jnp.asarray(batch["scales"]),
+                        jnp.asarray(batch["translations"]),
+                        jnp.asarray(batch["flips"]), out_size=input_size,
+                        negate_channels=negate_channels)
+    parts = T.normalize_group(out, representation, flow_ds_factor,
+                              upsample_interp)
+    parts["label"] = jnp.asarray(batch["label"])
+    return parts
+
+
+def augment_eval_batch(batch, representation, flow_ds_factor=0,
+                       upsample_interp=False, input_size=224,
+                       negate_channels=(0, 2)):
+    """Device-side eval: apply all crops, fold crops into the segment axis
+    like the reference ((num_crops * num_segments) consensus, test.py:146)."""
+    import jax
+    import jax.numpy as jnp
+
+    frames = jnp.asarray(batch["frames"]).astype(jnp.float32)
+    b, s = frames.shape[0], frames.shape[1]
+    n_crops = batch["scales"].shape[1]
+
+    def per_crop(c):
+        return T.apply_crops(frames, jnp.asarray(batch["scales"][:, c]),
+                             jnp.asarray(batch["translations"][:, c]),
+                             jnp.asarray(batch["flips"][:, c]),
+                             out_size=input_size,
+                             negate_channels=negate_channels)
+
+    crops = jnp.stack([per_crop(c) for c in range(n_crops)], axis=1)
+    crops = crops.reshape((b, n_crops * s) + crops.shape[3:])
+    parts = T.normalize_group(crops, representation, flow_ds_factor,
+                              upsample_interp)
+    parts["label"] = jnp.asarray(batch["label"])
+    return parts

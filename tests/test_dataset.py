@@ -1,0 +1,92 @@
+"""End-to-end CoviarDataset test on a synthetic encoded video + flow JPEGs."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dmcnet_tpu.codec.mpeg4 import encode_mpeg4
+from dmcnet_tpu.data.dmc_dataset import (
+    BatchAssembler,
+    CoviarDataset,
+    augment_eval_batch,
+    augment_train_batch,
+)
+from dmcnet_tpu.data.lists import VideoItem
+
+H, W, T = 128, 160, 36
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(3)
+    items = []
+    for v in range(2):
+        path = root / f"vid{v}.avi"
+        frames = rng.integers(0, 256, size=(T, H, W, 3)).astype(np.uint8)
+        # Smooth for encodability.
+        frames = (frames // 4 * 4)
+        encode_mpeg4(path, frames, gop_size=12, bit_rate=2_000_000)
+        flow_dir = root / f"flow{v}"
+        os.makedirs(flow_dir)
+        for i in range(1, T + 1):
+            for ax in "xy":
+                Image.fromarray(
+                    rng.integers(0, 256, size=(H, W), dtype=np.uint8)
+                    .astype(np.uint8), mode="L").save(
+                        flow_dir / f"flow_{ax}_{i:05d}.jpg")
+        items.append(VideoItem(str(path), v, T, str(flow_dir)))
+    return items
+
+
+def test_train_pipeline(corpus):
+    ds = CoviarDataset(None, None, None, "mv", num_segments=3, is_train=True,
+                       accumulate=True, mv_minmaxnorm=1, items=corpus)
+    frames, label, size = ds[0]
+    assert frames.shape == (3, H, W, 7) and frames.dtype == np.uint8
+    assert size == (H, W)
+
+    asm = BatchAssembler(ds, input_size=64, scale_size=74)
+    batch = asm.train_batch(range(4))
+    assert batch["frames"].shape == (4, 3, H, W, 7)
+    parts = augment_train_batch(batch, "mv", input_size=64)
+    assert parts["mv"].shape == (4, 3, 64, 64, 2)
+    assert parts["residual"].shape == (4, 3, 64, 64, 3)
+    assert parts["flow"].shape == (4, 3, 64, 64, 2)
+    assert parts["label"].shape == (4,)
+    assert np.isfinite(np.asarray(parts["mv"])).all()
+
+
+def test_eval_pipeline_10crop(corpus):
+    ds = CoviarDataset(None, None, None, "mv", num_segments=2, is_train=False,
+                       accumulate=True, items=corpus)
+    asm = BatchAssembler(ds, input_size=64, scale_size=74, test_crops=10)
+    batch = asm.eval_batch([0, 1])
+    assert batch["scales"].shape == (2, 10, 2)
+    parts = augment_eval_batch(batch, "mv", input_size=64)
+    # crops folded into segment axis: 10 crops x 2 segments.
+    assert parts["mv"].shape == (2, 20, 64, 64, 2)
+    assert list(np.asarray(parts["label"])) == [0, 1]
+
+
+def test_eval_deterministic(corpus):
+    ds = CoviarDataset(None, None, None, "mv", num_segments=2, is_train=False,
+                       items=corpus)
+    a, la, _ = ds[1]
+    b, lb, _ = ds[1]
+    np.testing.assert_array_equal(a, b)
+    assert la == lb == 1
+
+
+def test_flow_ds_factor(corpus):
+    ds = CoviarDataset(None, None, None, "mv", num_segments=1, is_train=True,
+                       flow_ds_factor=16, items=corpus)
+    asm = BatchAssembler(ds, input_size=64, scale_size=74)
+    batch = asm.train_batch([0])
+    parts = augment_train_batch(batch, "mv", flow_ds_factor=16, input_size=64)
+    flow = np.asarray(parts["flow"])[0, 0, :, :, 0]
+    # Blocky: constant within each 16x16 block.
+    blk = flow[:16, :16]
+    assert np.allclose(blk, blk[0, 0])
