@@ -1,0 +1,56 @@
+"""Mesh + sharding plumbing: the TPU-native replacement for DataParallel.
+
+The reference replicates the model per GPU and scatters batches with
+`torch.nn.DataParallel` (code/dmcnet/train.py:117) and carries a vestigial
+DistributedDataParallel path (code/dmcnet_I3D/train_model.py:117-120).  Here
+a single jitted program spans the whole `jax.sharding.Mesh`: the batch is
+sharded over the 'data' axis, parameters/optimizer state are replicated, and
+XLA emits the gradient all-reduce over ICI — no user-level collectives.
+
+Multi-host: the same program works after `jax.distributed.initialize()`;
+each host feeds its local shard of the global batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices=None, axis_name="data"):
+    """1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def shard_batch(batch, mesh, axis_name="data"):
+    """Place a host batch with the leading axis split across the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate_state(state, mesh):
+    """Replicate params/optimizer state on every device of the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def make_sharded_train_step(step_fn, mesh, axis_name="data"):
+    """Constrain a train step to (replicated state, data-sharded batch).
+
+    `step_fn(state, batch, *args) -> (state, metrics)`.  jit with explicit
+    shardings keeps the state resident and replicated; the psum over
+    gradients is inserted by the partitioner.
+    """
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P(axis_name))
+
+    def wrapped(state, batch, *args):
+        batch = jax.lax.with_sharding_constraint(
+            batch, data)
+        state, metrics = step_fn(state, batch, *args)
+        return jax.lax.with_sharding_constraint(state, repl), metrics
+
+    return jax.jit(wrapped, donate_argnums=(0,))

@@ -107,13 +107,12 @@ def _forward_train(model, state, batch, rng):
 
 
 def make_train_step(model, opts, *, num_segments, lr_cls_w, lr_mse_w,
-                    loss_mse="MSELoss"):
-    """dmcnet train step.  Returns jitted fn(state, batch, rng, lr, wd,
-    train_cls) -> (state, metrics); `train_cls` is False during the freeze
-    phase."""
+                    loss_mse="MSELoss", jit=True):
+    """dmcnet train step.  Returns fn(state, batch, rng, lr, wd, train_cls)
+    -> (state, metrics); `train_cls` is False during the freeze phase.
+    Pass jit=False to get the raw function (for sharded wrappers)."""
     rec_loss = reconstruction_loss(loss_mse)
 
-    @jax.jit
     def step(state, batch, rng, lr, wd, train_cls):
         flow = batch["flow"].reshape((-1,) + batch["flow"].shape[-3:])
         labels = batch["label"]
@@ -149,7 +148,7 @@ def make_train_step(model, opts, *, num_segments, lr_cls_w, lr_mse_w,
         }
         return new_state, metrics
 
-    return step
+    return jax.jit(step) if jit else step
 
 
 def make_eval_step(model, *, num_segments, lr_cls_w, lr_mse_w,

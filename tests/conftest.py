@@ -1,15 +1,19 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
-Must set the env vars before jax initializes its backends, hence module level.
+The environment pins JAX_PLATFORMS=axon (the TPU tunnel), so the platform
+must be overridden through jax.config before any backend initializes.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # tests always run on the virtual CPU mesh
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
