@@ -1,0 +1,167 @@
+"""Video-level testing driver — reference code/dmcnet/test.py.
+
+25-segment x {1,10}-crop evaluation with per-video score averaging and a
+bit-compatible `.npz` score dump: `scores` is an object array of
+(score (1, C) float array, label) pairs REORDERED by sorted video name
+(reference test.py:183-198), plus `labels` and `names`, so the reference
+combine.py / run_combine.sh consume it unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import numpy as np
+
+from dmcnet_tpu.cli.train_options import num_classes_for
+from dmcnet_tpu.data.dmc_dataset import (
+    BatchAssembler,
+    CoviarDataset,
+    augment_eval_batch,
+)
+from dmcnet_tpu.models import DMCNet, segment_consensus
+from dmcnet_tpu.train.checkpoints import load_checkpoint
+from dmcnet_tpu.train.engine import create_train_state
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Standard video-level testing")
+    parser.add_argument('--data-name', type=str,
+                        choices=['ucf101', 'hmdb51', 'kinetics400'])
+    parser.add_argument('--representation', type=str,
+                        choices=['iframe', 'residual', 'mv', 'flow'])
+    parser.add_argument('--no-accumulation', action='store_true')
+    parser.add_argument('--new_length', type=int, default=1)
+    parser.add_argument('--use_databn', type=int, default=1)
+    parser.add_argument('--flow_ds_factor', type=int, default=0)
+    parser.add_argument('--upsample_interp', type=bool, default=False)
+    parser.add_argument('--data-root', type=str)
+    parser.add_argument('--flow-root', type=str)
+    parser.add_argument('--data-flow', type=str, default='tvl1')
+    parser.add_argument('--test-list', type=str)
+    parser.add_argument('--weights', type=str)
+    parser.add_argument('--batch-size', default=1, type=int)
+    parser.add_argument('--arch', type=str)
+    parser.add_argument('--arch_estimator', type=str, default="ContextNetwork")
+    parser.add_argument('--arch_d', type=str, default=None)
+    parser.add_argument('--save-scores', type=str, default=None)
+    parser.add_argument('--test_segments', type=int, default=25)
+    parser.add_argument('--test-crops', type=int, default=10)
+    parser.add_argument('--input_size', type=int, default=224)
+    parser.add_argument('-j', '--workers', default=1, type=int)
+    parser.add_argument('--gpus', nargs='+', type=int, default=None)
+    parser.add_argument('--gop', type=int, default=12)
+    parser.add_argument('--viz', type=bool, default=False)
+    parser.add_argument('--gen_flow_or_delta', type=int, default=0)
+    parser.add_argument('--gen_flow_ds_factor', type=int, default=0)
+    parser.add_argument('--att', type=int, default=0)
+    parser.add_argument('--mv_minmaxnorm', type=int, default=0)
+    return parser
+
+
+def save_scores_npz(path, outputs, labels, name_list):
+    """Bit-compatible with reference test.py:183-198: reorder everything by
+    sorted(video name) and savez object arrays."""
+    order_dict = {e: i for i, e in enumerate(sorted(name_list))}
+    n = len(outputs)
+    reorder_output = [None] * n
+    reorder_label = [None] * n
+    reorder_name = [None] * n
+    for i in range(n):
+        idx = order_dict[name_list[i]]
+        reorder_output[idx] = outputs[i]
+        reorder_label[idx] = labels[i]
+        reorder_name[idx] = name_list[i]
+    scores = np.empty(n, dtype=object)
+    scores[:] = reorder_output
+    np.savez(path, scores=scores, labels=reorder_label, names=reorder_name)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    num_class = num_classes_for(args.data_name)
+
+    net = DMCNet(
+        num_class=num_class, num_segments=args.test_segments,
+        representation=args.representation, arch=args.arch,
+        new_length=args.new_length,
+        gen_flow_or_delta=args.gen_flow_or_delta,
+        gen_flow_ds_factor=args.gen_flow_ds_factor,
+        arch_estimator=args.arch_estimator, arch_d=args.arch_d,
+        att=args.att, detach_classifier=args.arch_d is None)
+
+    ds = CoviarDataset(
+        data_root=args.data_root, flow_root=args.flow_root,
+        video_list=args.test_list, representation=args.representation,
+        num_segments=args.test_segments, is_train=False,
+        accumulate=(not args.no_accumulation), gop=args.gop,
+        flow_ds_factor=args.flow_ds_factor,
+        upsample_interp=args.upsample_interp,
+        mv_minmaxnorm=args.mv_minmaxnorm, flow_folder=args.data_flow)
+    asm = BatchAssembler(ds, input_size=args.input_size,
+                         scale_size=args.input_size * 256 // 224,
+                         test_crops=args.test_crops)
+
+    sample = augment_eval_batch(asm.eval_batch([0]),
+                                representation=args.representation,
+                                flow_ds_factor=args.flow_ds_factor,
+                                upsample_interp=args.upsample_interp,
+                                input_size=args.input_size)
+    state, _ = create_train_state(net, jax.random.key(0), sample,
+                                  lr_cls_mult=0.01, lr_mse_mult=0.01,
+                                  lr_d_mult=0.01 if args.arch_d else None)
+    if args.weights:
+        try:  # framework-native checkpoint first …
+            state, meta = load_checkpoint(state, args.weights)
+            print(f"model epoch {meta.get('epoch')} best prec@1: "
+                  f"{meta.get('best_prec1')}")
+        except Exception:  # … else a reference torch .pth.tar
+            from dmcnet_tpu.train.checkpoints import load_reference_weights
+            params, batch_stats, skipped, _ = load_reference_weights(
+                state, None, args.weights)
+            state = state.replace(params=params, batch_stats=batch_stats)
+            print(f"loaded reference torch weights {args.weights} "
+                  f"(skipped {len(skipped)})")
+
+    total_seg = args.test_segments * args.test_crops
+
+    @jax.jit
+    def forward_video(batch):
+        logits, _ = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["mv"], batch["residual"], train=False)
+        return segment_consensus(logits, total_seg)
+
+    output, video_labels = [], []
+    proc_start_time = time.time()
+    for i in range(len(ds)):
+        batch = augment_eval_batch(
+            asm.eval_batch([i]), representation=args.representation,
+            flow_ds_factor=args.flow_ds_factor,
+            upsample_interp=args.upsample_interp,
+            input_size=args.input_size)
+        scores = np.asarray(forward_video(batch))  # (1, C)
+        label = int(batch["label"][0])
+        output.append((scores, label))
+        video_labels.append(label)
+        if (i + 1) % 100 == 0:
+            cnt_time = time.time() - proc_start_time
+            print(f"video {i} done, total {i + 1}/{len(ds)}, "
+                  f"average {cnt_time / (i + 1)} sec/video")
+
+    video_pred = [np.argmax(x[0]) for x in output]
+    acc = float(np.mean(np.asarray(video_pred) == np.asarray(video_labels)))
+    print(f"Accuracy {acc * 100:.02f}% ({len(video_pred)})")
+
+    if args.save_scores is not None:
+        name_list = [x.strip().split()[0] for x in open(args.test_list)]
+        save_scores_npz(args.save_scores, output, video_labels, name_list)
+    return acc
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

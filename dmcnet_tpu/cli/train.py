@@ -1,0 +1,220 @@
+"""Training driver — flag-compatible with reference code/dmcnet/train.py
+(and, with --gan, code/dmcnet_GAN/train.py).
+
+Orchestration mirrors the reference `main()` (train.py:31-201): build model,
+optionally partial-init from --weights, per-epoch stepwise lr with freeze
+phase, train + periodic validation, best-checkpoint tracking.  The compute
+runs as jitted steps over a data-parallel mesh (see parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmcnet_tpu.cli.train_options import build_parser, num_classes_for
+from dmcnet_tpu.data.dmc_dataset import (
+    BatchAssembler,
+    CoviarDataset,
+    augment_eval_batch,
+    augment_train_batch,
+)
+from dmcnet_tpu.data.loader import PrefetchLoader
+from dmcnet_tpu.models import DMCNet
+from dmcnet_tpu.train.checkpoints import (
+    checkpoint_name,
+    load_checkpoint,
+    load_reference_weights,
+    save_checkpoint,
+)
+from dmcnet_tpu.train.engine import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+)
+from dmcnet_tpu.train.engine_gan import make_gan_train_steps
+from dmcnet_tpu.train.metrics import AverageMeter
+from dmcnet_tpu.train.optimizers import step_decay_lr
+
+SAVE_FREQ = 40
+PRINT_FREQ = 20
+
+
+def build_model(args, num_class, gan):
+    return DMCNet(
+        num_class=num_class,
+        num_segments=args.num_segments,
+        representation=args.representation,
+        arch=args.arch,
+        new_length=args.new_length,
+        gen_flow_or_delta=args.gen_flow_or_delta,
+        gen_flow_ds_factor=args.gen_flow_ds_factor,
+        arch_estimator=args.arch_estimator,
+        arch_d=getattr(args, "arch_d", None) if gan else None,
+        att=args.att,
+        detach_classifier=not gan)
+
+
+def make_datasets(args):
+    common = dict(
+        data_root=args.data_root, flow_root=args.flow_root,
+        representation=args.representation, num_segments=args.num_segments,
+        accumulate=(not args.no_accumulation), gop=args.gop,
+        flow_ds_factor=args.flow_ds_factor,
+        upsample_interp=args.upsample_interp,
+        mv_minmaxnorm=args.mv_minmaxnorm, flow_folder=args.data_flow,
+        new_length=args.new_length)
+    train_ds = CoviarDataset(video_list=args.train_list, is_train=True,
+                             **common)
+    val_ds = CoviarDataset(video_list=args.test_list, is_train=False,
+                           **common)
+    return train_ds, val_ds
+
+
+def main(argv=None, gan=False, input_size=224):
+    """`input_size` defaults to the reference's fixed 224 (model.py:306);
+    overridable programmatically for small-scale tests."""
+    parser = build_parser(gan=gan)
+    args = parser.parse_args(argv)
+    print("Training arguments:")
+    for k, v in sorted(vars(args).items()):
+        print(f"\t{k}: {v}")
+
+    num_class = num_classes_for(args.data_name)
+    model = build_model(args, num_class, gan)
+    train_ds, val_ds = make_datasets(args)
+    scale_size = input_size * 256 // 224
+    train_asm = BatchAssembler(train_ds, input_size=input_size,
+                               scale_size=scale_size)
+    val_asm = BatchAssembler(val_ds, input_size=input_size,
+                             scale_size=scale_size, test_crops=1)
+
+    aug_kwargs = dict(representation=args.representation,
+                      flow_ds_factor=args.flow_ds_factor,
+                      upsample_interp=args.upsample_interp,
+                      input_size=input_size)
+
+    # Init state from one sample batch.
+    sample = augment_train_batch(train_asm.train_batch(
+        range(min(2, len(train_ds)))), **aug_kwargs)
+    state, opts = create_train_state(
+        model, jax.random.key(0), sample,
+        lr_cls_mult=args.lr_cls_mult, lr_mse_mult=args.lr_mse_mult,
+        lr_d_mult=getattr(args, "lr_d_mult", None) if gan else None)
+
+    start_epoch, best_prec1 = 0, 0.0
+    if args.weights:
+        params, batch_stats, skipped, missing = load_reference_weights(
+            state, None, args.weights)
+        state = state.replace(params=params, batch_stats=batch_stats)
+        print(f"loaded --weights {args.weights} "
+              f"(skipped {len(skipped)}, missing {len(missing)})")
+    if args.resume:
+        state, meta = load_checkpoint(state, args.resume)
+        start_epoch = meta["epoch"]
+        best_prec1 = meta.get("best_prec1", 0.0)
+        print(f"=> loaded checkpoint '{args.resume}' (epoch {start_epoch})")
+
+    if gan:
+        d_step, g_step = make_gan_train_steps(
+            model, opts, num_segments=args.num_segments,
+            lr_cls_w=args.lr_cls, lr_adv_g=args.lr_adv_g,
+            lr_adv_d=args.lr_adv_d, lr_mse_w=args.lr_mse,
+            loss_mse=args.loss_mse)
+    else:
+        train_step = make_train_step(
+            model, opts, num_segments=args.num_segments,
+            lr_cls_w=args.lr_cls, lr_mse_w=args.lr_mse,
+            loss_mse=args.loss_mse)
+    eval_step = make_eval_step(model, num_segments=args.num_segments,
+                               lr_cls_w=args.lr_cls, lr_mse_w=args.lr_mse,
+                               loss_mse=args.loss_mse)
+
+    batches_per_epoch = max(1, len(train_ds) // args.batch_size)
+    rng = jax.random.key(1)
+
+    for epoch in range(start_epoch, args.epochs):
+        lr = step_decay_lr(args.lr, epoch, args.lr_steps, args.lr_decay)
+        freeze = epoch < args.epoch_thre
+        print(f"current epoch freeze?: {freeze}")
+
+        def make_batch(i):
+            return train_asm.train_batch(
+                range(i * args.batch_size, (i + 1) * args.batch_size))
+
+        loader = PrefetchLoader(make_batch, batches_per_epoch,
+                                workers=args.workers)
+        meters = {k: AverageMeter() for k in
+                  ("batch_time", "data_time", "loss", "loss_cls",
+                   "loss_mse", "top1", "top5")}
+        end = time.time()
+        for i, raw in enumerate(loader):
+            meters["data_time"].update(time.time() - end)
+            batch = augment_train_batch(raw, **aug_kwargs)
+            rng, step_rng = jax.random.split(rng)
+            if gan:
+                fn = d_step if i % 2 == 0 else g_step
+                lr_cls_eff = 0.0 if freeze else lr
+                state, metrics = fn(state, batch, step_rng,
+                                    jnp.float32(lr), jnp.float32(lr_cls_eff),
+                                    jnp.float32(lr), jnp.float32(args.weight_decay))
+            else:
+                state, metrics = train_step(
+                    state, batch, step_rng, jnp.float32(lr),
+                    jnp.float32(args.weight_decay),
+                    jnp.asarray(not freeze))
+            bsz = batch["label"].shape[0]
+            for k in ("loss", "loss_cls", "loss_mse", "top1", "top5"):
+                if k in metrics:
+                    meters[k].update(float(metrics[k]), bsz)
+            meters["batch_time"].update(time.time() - end)
+            end = time.time()
+            if i % PRINT_FREQ == 0:
+                print(f"Epoch: [{epoch}][{i}/{batches_per_epoch}], "
+                      f"lr_gf: {lr:.7f}\t"
+                      f"Time {meters['batch_time'].val:.3f} "
+                      f"({meters['batch_time'].avg:.3f})\t"
+                      f"Data {meters['data_time'].val:.3f} "
+                      f"({meters['data_time'].avg:.3f})\t"
+                      f"Loss {meters['loss'].val:.4f} "
+                      f"({meters['loss'].avg:.4f})\t"
+                      f"Prec@1 {meters['top1'].val:.3f} "
+                      f"({meters['top1'].avg:.3f})\t"
+                      f"Prec@5 {meters['top5'].val:.3f} "
+                      f"({meters['top5'].avg:.3f})")
+
+        if epoch % args.eval_freq == 0 or epoch == args.epochs - 1:
+            prec1 = validate(val_ds, val_asm, eval_step, state, args,
+                             aug_kwargs)
+            is_best = prec1 > best_prec1
+            best_prec1 = max(prec1, best_prec1)
+            if is_best or epoch % SAVE_FREQ == 0:
+                name = checkpoint_name(args.model_prefix, args.representation)
+                save_checkpoint(
+                    state,
+                    {"epoch": epoch + 1, "arch": args.arch,
+                     "best_prec1": best_prec1}, name, is_best)
+    return best_prec1
+
+
+def validate(val_ds, val_asm, eval_step, state, args, aug_kwargs):
+    top1 = AverageMeter()
+    losses = AverageMeter()
+    n = len(val_ds)
+    bs = args.batch_size
+    for start in range(0, n, bs):
+        idx = range(start, min(start + bs, n))
+        batch = augment_eval_batch(val_asm.eval_batch(idx), **aug_kwargs)
+        m = eval_step(state, batch)
+        top1.update(float(m["top1"]), len(idx))
+        losses.update(float(m["loss"]), len(idx))
+    print(f"Testing Results: Prec@1 {top1.avg:.3f} Loss {losses.avg:.5f}")
+    return top1.avg
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

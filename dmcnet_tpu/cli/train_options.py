@@ -1,0 +1,113 @@
+"""Training options — flag-compatible with the reference CLIs.
+
+Mirrors /root/reference/code/dmcnet/train_options.py:12-91 (base) and the
+dmcnet_GAN additions (train_options.py:37-38,74-77,88) so the reference
+exp_my/*/run.sh scripts drive this implementation unchanged.
+"""
+
+import argparse
+
+
+def build_parser(gan=False):
+    parser = argparse.ArgumentParser(description="CoViAR")
+
+    # Data.
+    parser.add_argument('--data-name', type=str,
+                        choices=['ucf101', 'hmdb51', 'kinetics400'],
+                        help='dataset name.')
+    parser.add_argument('--data-root', type=str,
+                        help='root of data directory.')
+    parser.add_argument('--flow-root', type=str,
+                        help='directory of pre-extracted optical flow images.')
+    parser.add_argument('--data-flow', type=str, default='tvl1',
+                        help='flow folder flavour (tvl1 | PWC*).')
+    parser.add_argument('--train-list', type=str,
+                        help='training example list.')
+    parser.add_argument('--test-list', type=str,
+                        help='testing example list.')
+    parser.add_argument('--gop', type=int, default=12, help='size of GOP.')
+
+    # Model.
+    parser.add_argument('--representation', type=str,
+                        choices=['iframe', 'mv', 'residual', 'flow'],
+                        help='data representation.')
+    parser.add_argument('--arch', type=str, default="resnet152",
+                        help='base architecture.')
+    parser.add_argument('--arch_estimator', type=str, default="ContextNetwork",
+                        help='estimator architecture.')
+    if gan:
+        parser.add_argument('--arch_d', type=str, default="Discriminator",
+                            help='discriminator architecture.')
+    parser.add_argument('--num_segments', type=int, default=3,
+                        help='number of TSN segments.')
+    parser.add_argument('--no-accumulation', action='store_true',
+                        help='disable accumulation of motion vectors.')
+    parser.add_argument('--new_length', type=int, default=1,
+                        help='number of MV/OF stacked together.')
+    parser.add_argument('--flow_ds_factor', type=int, default=0,
+                        help='flow downsample factor.')
+    parser.add_argument('--gen_flow_ds_factor', type=int, default=0,
+                        help='downsample factor for generated flow.')
+    parser.add_argument('--upsample_interp', type=bool, default=False,
+                        help='upsample via interpolation or not.')
+    parser.add_argument('--use_databn', type=int, default=1,
+                        help='add data batchnorm (kept for flag parity).')
+    parser.add_argument('--gen_flow_or_delta', type=int, default=0,
+                        help='0: generate flow; 1: generate flow delta.')
+    parser.add_argument('--att', type=int, default=0,
+                        help='0: no attention; 1: pixel-level attention.')
+    parser.add_argument('--mv_minmaxnorm', type=int, default=1 if gan else 0,
+                        help='min-max normalize mv values.')
+
+    # Training.
+    parser.add_argument('--weights', default=None, type=str)
+    parser.add_argument('--resume', default=None, type=str)
+    parser.add_argument('--epochs', default=500, type=int,
+                        help='number of training epochs.')
+    parser.add_argument('--epoch-thre', default=500, type=int,
+                        help='freeze-phase threshold epoch.')
+    parser.add_argument('--batch-size', default=40, type=int,
+                        help='batch size.')
+    parser.add_argument('--lr', default=0.001, type=float,
+                        help='base learning rate.')
+    parser.add_argument('--lr-cls', default=1, type=float,
+                        help='cls loss weight.')
+    parser.add_argument('--loss-mse', default='MSELoss', type=str)
+    parser.add_argument('--lr-mse', default=0.1, type=float,
+                        help='mse loss weight.')
+    if gan:
+        parser.add_argument('--lr-adv-g', default=1, type=float,
+                            help='adversarial G loss weight.')
+        parser.add_argument('--lr-adv-d', default=1, type=float,
+                            help='adversarial D loss weight.')
+        parser.add_argument('--lr_d_mult', default=0.01, type=float,
+                            help='discriminator lr multiplier.')
+    parser.add_argument('--lr_cls_mult', default=0.01, type=float,
+                        help='cls learning multiplier.')
+    parser.add_argument('--lr_mse_mult', default=0.01, type=float,
+                        help='mse learning multiplier.')
+    parser.add_argument('--lr-steps', default=[200, 300, 400], type=float,
+                        nargs="+", help='epochs to decay learning rate.')
+    parser.add_argument('--lr-decay', default=0.1, type=float,
+                        help='lr decay factor.')
+    parser.add_argument('--weight-decay', '--wd', default=1e-4, type=float,
+                        help='weight decay.')
+
+    # Log.
+    parser.add_argument('--eval-freq', default=5, type=int,
+                        help='evaluation frequency (epochs).')
+    parser.add_argument('--workers', default=8, type=int,
+                        help='number of data loader workers.')
+    parser.add_argument('--model-prefix', type=str, default="model",
+                        help="prefix of model name.")
+    parser.add_argument('--gpus', nargs='+', type=int, default=None,
+                        help='device ids (accepted for script parity; the '
+                             'mesh uses all visible devices).')
+    return parser
+
+
+def num_classes_for(data_name):
+    table = {"ucf101": 101, "hmdb51": 51, "kinetics400": 400}
+    if data_name not in table:
+        raise ValueError("Unknown dataset " + str(data_name))
+    return table[data_name]

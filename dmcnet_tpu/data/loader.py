@@ -1,0 +1,57 @@
+"""Threaded prefetching batch loader.
+
+Replaces torch DataLoader worker processes (reference train.py:71-90,
+`--workers 8`): a thread pool assembles host batches (decode + accumulate +
+crop-spec sampling release the GIL in FFmpeg/numpy) while the device steps,
+with a bounded prefetch queue for double buffering.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+
+class PrefetchLoader:
+    """Iterate batches produced by `make_batch(batch_index)` with
+    `num_batches` batches per epoch, prefetched by `workers` threads."""
+
+    def __init__(self, make_batch, num_batches, workers=4, prefetch=8):
+        self.make_batch = make_batch
+        self.num_batches = num_batches
+        self.workers = max(1, workers)
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self):
+        tickets = queue.Queue()
+        for i in range(self.num_batches):
+            tickets.put(i)
+        out = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def worker():
+            while not stop.is_set():
+                try:
+                    i = tickets.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    out.put((i, self.make_batch(i)))
+                except Exception as exc:  # surface in consumer
+                    out.put((i, exc))
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.workers)]
+        for t in threads:
+            t.start()
+        try:
+            for _ in range(self.num_batches):
+                i, batch = out.get()
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()

@@ -1,0 +1,65 @@
+"""Checkpoint save/load.
+
+The on-disk layout mirrors the reference's naming scheme
+(code/dmcnet/train.py:372-377): `<prefix>_<representation>_checkpoint.pth.tar`
+with the best copied to `..._model_best.pth.tar` — but the payload is a
+framework-native msgpack of the full TrainState (params, batch_stats, all
+optimizer moments) plus metadata {epoch, arch, best_prec1}, so resume is
+exact.  Reference torch checkpoints are importable via
+`models.import_torch` (the `--weights` partial-init path, train.py:64-68).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(state, meta, filename, is_best=False):
+    """Write state+meta; copy to *_model_best.* when is_best
+    (reference save_checkpoint, train.py:372-377)."""
+    payload = {
+        "meta": dict(meta),
+        "state": serialization.to_bytes(jax.tree.map(np.asarray, state)),
+    }
+    tmp = filename + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, filename)
+    if is_best:
+        best = filename.replace("checkpoint", "model_best")
+        shutil.copyfile(filename, best)
+    return filename
+
+
+def load_checkpoint(state_template, filename):
+    """Restore (state, meta); `state_template` supplies the pytree structure."""
+    with open(filename, "rb") as f:
+        payload = pickle.load(f)
+    state = serialization.from_bytes(state_template, payload["state"])
+    return state, payload["meta"]
+
+
+def checkpoint_name(model_prefix, representation, kind="checkpoint"):
+    return "_".join((model_prefix, representation.lower(),
+                     kind + ".pth.tar"))
+
+
+def load_reference_weights(state, model_variables_template, path):
+    """Partial-init from a reference torch checkpoint (--weights semantics:
+    prefix-stripped, non-strict; train.py:64-68).  Returns updated
+    (params, batch_stats)."""
+    from dmcnet_tpu.models.import_torch import (
+        import_state_dict, load_pth_tar, merge_variables)
+
+    sd = load_pth_tar(path)
+    imported, skipped = import_state_dict(sd)
+    merged, missing = merge_variables(
+        {"params": state.params, "batch_stats": state.batch_stats}, imported,
+        strict_shapes=False)
+    return merged["params"], merged["batch_stats"], skipped, missing

@@ -1,0 +1,88 @@
+"""End-to-end CLI smoke: train -> test -> combine on a synthetic corpus.
+
+Exercises the full stack (list files on disk, native decode, accumulation,
+augmentation, jitted train/eval, checkpoints, npz export, fusion) with the
+real CLI argument surface, at reduced input size to stay fast on CPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from dmcnet_tpu.codec.mpeg4 import encode_mpeg4
+
+H, W, T, NVID = 96, 112, 30, 3
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("e2e")
+    data_root = root / "videos"
+    flow_root = root / "flow"
+    rng = np.random.default_rng(11)
+    lines = []
+    for v in range(NVID):
+        os.makedirs(data_root / "cls", exist_ok=True)
+        frames = (rng.integers(0, 256, size=(T, H, W, 3)) // 4 * 4).astype(
+            np.uint8)
+        encode_mpeg4(data_root / "cls" / f"v{v}.mp4", frames, gop_size=12,
+                     bit_rate=1_000_000)
+        fdir = flow_root / "cls" / f"v{v}"
+        os.makedirs(fdir)
+        for i in range(1, T + 1):
+            for ax in "xy":
+                Image.fromarray(rng.integers(0, 256, size=(H, W),
+                                             dtype=np.uint8), mode="L").save(
+                    fdir / f"flow_{ax}_{i:05d}.jpg")
+        lines.append(f"cls/v{v}.avi 0 {v % 2}")
+    train_list = root / "train.txt"
+    train_list.write_text("\n".join(lines) + "\n")
+    return dict(data_root=str(data_root), flow_root=str(flow_root),
+                list=str(train_list), root=root)
+
+
+def test_train_test_combine(corpus, tmp_path, monkeypatch):
+    from dmcnet_tpu.cli import combine as combine_cli
+    from dmcnet_tpu.cli import test as test_cli
+    from dmcnet_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    common = [
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--flow-root", corpus["flow_root"],
+        "--representation", "mv", "--arch", "resnet18",
+        "--arch_estimator", "DenseNetTiny",
+        "--mv_minmaxnorm", "1", "--gen_flow_or_delta", "1",
+    ]
+    train_args = common + [
+        "--num_segments", "2",
+        "--train-list", corpus["list"], "--test-list", corpus["list"],
+        "--epochs", "1", "--batch-size", "3", "--lr", "0.001",
+        "--eval-freq", "1", "--workers", "2",
+        "--model-prefix", str(tmp_path / "model"),
+    ]
+    best = train_cli.main(train_args, input_size=64)
+    assert best >= 0.0
+    ckpt = str(tmp_path / "model_mv_checkpoint.pth.tar")
+    assert os.path.exists(ckpt)
+
+    # num_classes=51 head on 2 synthetic classes — accuracy is noise; we
+    # check the plumbing: scores exported, shapes right, fusion runs.
+    score_file = str(tmp_path / "mv_score")
+    test_args = common + [
+        "--test-list", corpus["list"], "--weights", ckpt,
+        "--test_segments", "3", "--test-crops", "1",
+        "--input_size", "64", "--save-scores", score_file,
+    ]
+    acc = test_cli.main(test_args)
+    assert 0.0 <= acc <= 1.0
+    with np.load(score_file + ".npz", allow_pickle=True) as data:
+        assert len(data["scores"]) == NVID
+        assert data["scores"][0][0].shape == (1, 51)
+
+    fused_acc, n = combine_cli.combine(
+        score_file + ".npz", score_file + ".npz", score_file + ".npz",
+        score_file + ".npz")
+    assert n == NVID and 0.0 <= fused_acc <= 1.0
