@@ -1,0 +1,213 @@
+"""I3D (Inflated Inception-3D) with embedded DMC generator + discriminator.
+
+flax twin of /root/reference/code/dmcnet_I3D/network/i3d.py:458-601 in NDHWC
+layout (B, T, H, W, C):
+
+  * Unit3D = conv3d + BN + ReLU with TF-SAME padding (the reference emulates
+    TF-SAME in torch via get_padding_shape, i3d.py:299-325; XLA's 'SAME' IS
+    TF-SAME, so no emulation needed here);
+  * MaxPool SAME with zero padding — equivalent to XLA's -inf padding since
+    every pool input is post-ReLU (non-negative);
+  * stem 7x7x7/s2 -> pools -> mixed_3b..5c -> AvgPool3d((2,7,7), s1) ->
+    conv3d_0c_1x1 (1024->400, bias, no BN) -> dropout -> Linear(400, C)
+    (i3d.py:502-560);
+  * per-frame DMC generator applied by reshaping (B,T,H,W,C)->(B*T,H,W,C) —
+    a free reshape in NDHWC, vs the transpose+reshape the reference needs in
+    NCTHW (i3d.py:568-571);
+  * `node` multiplexing: 'logit' | 'flow+logit' | 'gen_flow' | 'D'
+    (i3d.py:563-601), and `detach` stop-gradient before the stem
+    (`--detach`, i3d.py:573-576).
+
+Intended-semantics note (SURVEY.md §2.5 quirk b): the generator consumes the
+[mv(2), residual(3)] channels and the MSE target is the flow channels; the
+reference's `[:, :5]` slice against a [flow,mv,res] loader order is an
+acknowledged inconsistency we do not replicate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from dmcnet_tpu.models.discriminators import make_discriminator
+from dmcnet_tpu.models.generators import make_estimator
+from dmcnet_tpu.models.layers import batch_norm
+
+
+class Unit3D(nn.Module):
+    """conv3d [+ BN] [+ ReLU] (reference Unit3Dpy, i3d.py:328-403)."""
+
+    features: int
+    kernel: Sequence[int] = (1, 1, 1)
+    stride: Sequence[int] = (1, 1, 1)
+    activation: Optional[str] = "relu"
+    use_bias: bool = False
+    use_bn: bool = True
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        x = nn.Conv(self.features, tuple(self.kernel),
+                    strides=tuple(self.stride), padding="SAME",
+                    use_bias=self.use_bias, name="conv3d")(x)
+        if self.use_bn:
+            x = batch_norm(train, name="batch3d")(x)
+        if self.activation == "relu":
+            x = nn.relu(x)
+        return x
+
+
+def max_pool_same(x, kernel, stride):
+    return nn.max_pool(x, tuple(kernel), strides=tuple(stride),
+                       padding="SAME")
+
+
+class Mixed(nn.Module):
+    """Inception block: 1x1 / 1x1-3x3 / 1x1-3x3 / pool-1x1 branches
+    (reference i3d.py:421-455)."""
+
+    out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3]
+
+    @nn.compact
+    def __call__(self, x, train=True):
+        oc = self.out_channels
+        b0 = Unit3D(oc[0], (1, 1, 1), name="branch_0")(x, train)
+        b1 = Unit3D(oc[1], (1, 1, 1), name="branch_1a")(x, train)
+        b1 = Unit3D(oc[2], (3, 3, 3), name="branch_1b")(b1, train)
+        b2 = Unit3D(oc[3], (1, 1, 1), name="branch_2a")(x, train)
+        b2 = Unit3D(oc[4], (3, 3, 3), name="branch_2b")(b2, train)
+        b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
+        b3 = Unit3D(oc[5], (1, 1, 1), name="branch_3b")(b3, train)
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+
+_MIXED_PLAN = {
+    "mixed_3b": [64, 96, 128, 16, 32, 32],
+    "mixed_3c": [128, 128, 192, 32, 96, 64],
+    "mixed_4b": [192, 96, 208, 16, 48, 64],
+    "mixed_4c": [160, 112, 224, 24, 64, 64],
+    "mixed_4d": [128, 128, 256, 24, 64, 64],
+    "mixed_4e": [112, 144, 288, 32, 64, 64],
+    "mixed_4f": [256, 160, 320, 32, 128, 128],
+    "mixed_5b": [256, 160, 320, 32, 128, 128],
+    "mixed_5c": [384, 192, 384, 48, 128, 128],
+}
+
+
+class I3D(nn.Module):
+    """Inception-3D classifier with optional embedded DMC generator/GAN."""
+
+    num_classes: int
+    modality: str = "rgb"  # rgb | flow | mv | res | I | flow+mp4
+    dropout_prob: float = 0.0
+    arch_estimator: Optional[str] = None
+    arch_d: Optional[str] = None
+
+    @property
+    def in_channels(self):
+        return 2 if self.modality in ("flow", "mv", "flow+mp4") else 3
+
+    def setup(self):
+        if self.arch_estimator:
+            self.gen_flow_model = make_estimator(self.arch_estimator)
+        if self.arch_d:
+            self.discriminator = make_discriminator(self.arch_d)
+        self.conv3d_1a_7x7 = Unit3D(64, (7, 7, 7), (2, 2, 2))
+        self.conv3d_2b_1x1 = Unit3D(64, (1, 1, 1))
+        self.conv3d_2c_3x3 = Unit3D(192, (3, 3, 3))
+        # setup-assigned submodules take their attribute names automatically.
+        self.mixed_3b = Mixed(_MIXED_PLAN["mixed_3b"])
+        self.mixed_3c = Mixed(_MIXED_PLAN["mixed_3c"])
+        self.mixed_4b = Mixed(_MIXED_PLAN["mixed_4b"])
+        self.mixed_4c = Mixed(_MIXED_PLAN["mixed_4c"])
+        self.mixed_4d = Mixed(_MIXED_PLAN["mixed_4d"])
+        self.mixed_4e = Mixed(_MIXED_PLAN["mixed_4e"])
+        self.mixed_4f = Mixed(_MIXED_PLAN["mixed_4f"])
+        self.mixed_5b = Mixed(_MIXED_PLAN["mixed_5b"])
+        self.mixed_5c = Mixed(_MIXED_PLAN["mixed_5c"])
+        self.conv3d_0c_1x1 = Unit3D(400, (1, 1, 1), activation=None,
+                                    use_bias=True, use_bn=False)
+        self.dropout = nn.Dropout(self.dropout_prob)
+        self.classifier = nn.Dense(self.num_classes)
+
+    def generate(self, x, train=True):
+        """Per-frame DMC generation: (B, T, H, W, 5) -> (B, T, H, W, 2)."""
+        b, t = x.shape[0], x.shape[1]
+        flat = x.reshape((b * t,) + x.shape[2:])
+        gen = self.gen_flow_model(flat, train=train)
+        return gen.reshape((b, t) + gen.shape[1:])
+
+    def discriminate(self, frames, train=True):
+        """(N, H, W, 2) -> (N, 2) real/fake logits."""
+        return self.discriminator(frames, train=train)
+
+    def features_to_logits(self, x, train=True, rng=None):
+        out = self.conv3d_1a_7x7(x, train)
+        out = max_pool_same(out, (1, 3, 3), (1, 2, 2))
+        out = self.conv3d_2b_1x1(out, train)
+        out = self.conv3d_2c_3x3(out, train)
+        out = max_pool_same(out, (1, 3, 3), (1, 2, 2))
+        out = self.mixed_3b(out, train)
+        out = self.mixed_3c(out, train)
+        out = max_pool_same(out, (3, 3, 3), (2, 2, 2))
+        out = self.mixed_4b(out, train)
+        out = self.mixed_4c(out, train)
+        out = self.mixed_4d(out, train)
+        out = self.mixed_4e(out, train)
+        out = self.mixed_4f(out, train)
+        out = max_pool_same(out, (2, 2, 2), (2, 2, 2))
+        out = self.mixed_5b(out, train)
+        out = self.mixed_5c(out, train)
+        # AvgPool3d((2, 7, 7), stride 1), VALID (i3d.py:549).
+        out = nn.avg_pool(out, (2, 7, 7), strides=(1, 1, 1), padding="VALID")
+        out = self.conv3d_0c_1x1(out, train)
+        # squeeze spatial, mean over time (Unit3Dpy squeeze/mean, i3d.py:398-402)
+        out = out.squeeze(axis=(2, 3)).mean(axis=1)
+        out = self.dropout(out, deterministic=not train)
+        return self.classifier(out)
+
+    def __call__(self, inp, node="logit", detach=False, train=True):
+        if node == "D":
+            return self.discriminate(inp, train=train)
+        if self.arch_estimator:
+            inp = self.generate(inp, train=train)
+        if node == "gen_flow":
+            return inp
+        feats_in = jax.lax.stop_gradient(inp) if detach else inp
+        logits = self.features_to_logits(feats_in, train=train)
+        if node == "flow+logit":
+            return logits, inp
+        return logits
+
+
+def init_i3d_variables(model, rng, sample, train=False):
+    """Initialize ALL branches (classifier path AND discriminator) in one
+    init — flax creates params lazily, unlike the reference's eager torch
+    construction, so a plain 'flow+logit' init would miss the D params."""
+
+    def init_fn(mdl):
+        out = mdl(sample, "flow+logit" if mdl.arch_estimator else "logit",
+                  False, train)
+        if mdl.arch_d:
+            logits, gen = out
+            b, t = gen.shape[0], gen.shape[1]
+            mdl.discriminate(gen.reshape((b * t,) + gen.shape[2:]),
+                             train=train)
+        return out
+
+    return model.init(rng, method=init_fn)
+
+
+def get_symbol(name, modality="rgb", num_classes=51, arch_estimator=None,
+               arch_d=None, dropout_prob=0.0, **kwargs):
+    """Factory + input config (reference network/symbol_builder.py:12-25 and
+    network/config.py:10-27: I3D mean=std=[0.5]^3)."""
+    if name.upper() != "I3D":
+        raise ValueError(f"unknown network {name!r}")
+    net = I3D(num_classes=num_classes, modality=modality,
+              dropout_prob=dropout_prob, arch_estimator=arch_estimator,
+              arch_d=arch_d)
+    input_conf = {"mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5]}
+    return net, input_conf

@@ -1,0 +1,186 @@
+"""Jitted train steps for the I3D variant, with iter-size accumulation.
+
+Mirrors the reference MFNet-derived trainer
+(/root/reference/code/dmcnet_I3D/train/model.py:286-491):
+
+  * gradient accumulation over `iter_size` microbatches with grads divided
+    by iter_size (model.py:389-405) — expressed as a `lax.scan` over a
+    stacked microbatch axis inside ONE jitted step (no host round-trips);
+  * D phase on `i_batch % (2*iter_size) < iter_size`: loss = cls + adv*adv,
+    steps the base (cls) and discriminator optimizers (model.py:354-408);
+  * G phase: loss = cls + mse + adv*adv, with the cls term dropped in epoch
+    0 (`0.*losses[0]`, model.py:430-434), steps the generator optimizer
+    (and the base optimizer only when no GAN) (model.py:411-491);
+  * both phases score validity on fake‖real with labels (fake=0, valid=1)
+    (model.py:155-159) — including the G phase, which the reference also
+    trains against the D-style labels (a deliberate-fidelity quirk: the I3D
+    trainer's G loss uses the same loss_adv it computed for D);
+  * detach: lr of the base optimizer forced to 0 during stage 1
+    (model.py:372-379);
+  * stage-2 switch at epoch_thre swaps to freshly initialized optimizers
+    (model.py:347-351) — host code resets opt states and rebuilds the step
+    with the stage-2 transforms.
+
+Input batches are NDHWC clip stacks: mv (I, B, T, H, W, 2), residual
+(I, B, T, H, W, 3), flow (I, B, T, H, W, 2), label (I, B) with I=iter_size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dmcnet_tpu.train.engine import cross_entropy, topk_correct
+from dmcnet_tpu.train.optimizers import GroupAdam, GroupSGD, lr_mult_tree
+
+
+def make_i3d_optimizers(params, optim="adam", lr_mul=0.2, has_gan=False,
+                        stage2=False):
+    """Reference parameter grouping (train_model.py:69-106): generator,
+    discriminator, new layers (conv3d_0c_1x1, classifier) at lr_mult 1,
+    base I3D at lr_mult `lr_mul`.  No bias decay exemption (torch wd on
+    every param).  Returns {'cls', 'gf'[, 'd']}."""
+    ones = jax.tree.map(lambda _: 1.0, params)
+    cls_mults = {}
+    for top in params:
+        if top in ("gen_flow_model", "discriminator"):
+            continue
+        cls_mults[top] = 1.0 if top in ("conv3d_0c_1x1", "classifier") \
+            else lr_mul
+    make = (lambda lm, eps=1e-8: GroupAdam(params, lm, ones, eps=eps)) \
+        if optim == "adam" else (lambda lm, eps=None: GroupSGD(params, lm, ones))
+    opts = {
+        "cls": make(lr_mult_tree(params, cls_mults)),
+        "gf": make(lr_mult_tree(params, {"gen_flow_model": 1.0}),
+                   eps=(1e-3 if (optim == "adam" and stage2) else 1e-8)),
+    }
+    if has_gan:
+        # D optimizer is always Adam(eps=1e-3) (train_model.py:146-152).
+        opts["d"] = GroupAdam(params,
+                              lr_mult_tree(params, {"discriminator": 1.0}),
+                              ones, eps=1e-3)
+    return opts
+
+
+def _forward_gan(model, params, batch_stats, mv_res, flow, rng, with_adv):
+    """One microbatch forward: logits, gen flow, adv loss pieces."""
+    variables = {"params": params, "batch_stats": batch_stats}
+    (logits, gen), mutated = model.apply(
+        variables, mv_res, "flow+logit", False, True,
+        mutable=["batch_stats"], rngs={"dropout": rng})
+    adv_logits = None
+    if with_adv:
+        b, t = gen.shape[0], gen.shape[1]
+        fake = gen.reshape((b * t,) + gen.shape[2:])
+        real = flow.reshape((b * t,) + flow.shape[2:])
+        d_in = jnp.concatenate([fake, real], axis=0)
+        adv_logits, mutated2 = model.apply(
+            {"params": params, "batch_stats": mutated["batch_stats"]},
+            d_in, "D", False, True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        mutated = mutated2
+    return logits, gen, adv_logits, mutated["batch_stats"]
+
+
+def make_i3d_steps(model, opts, *, adv=0.0, jit=True):
+    """Returns (d_step, g_step).  Each:
+    fn(state, batch, rng, lr, lr1, lr_d, wd, drop_cls) -> (state, metrics);
+    `lr1` is the base-optimizer lr (0 when detached/frozen), `drop_cls`
+    zeroes the cls term (epoch 0 G loss)."""
+    has_gan = "d" in opts
+
+    def accumulate(state, batch, rng, loss_builder):
+        """Scan microbatches: mean grads + final batch_stats + metrics."""
+        iter_size = batch["label"].shape[0]
+
+        def micro(carry, xs):
+            bs, rng = carry
+            mb, rng = jax.random.split(rng)
+
+            def loss_fn(params):
+                return loss_builder(params, bs, xs, mb)
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            return (aux.pop("batch_stats"), rng), (grads, aux)
+
+        (bs, _), (grads, auxes) = jax.lax.scan(
+            micro, (state.batch_stats, rng), batch)
+        mean_grads = jax.tree.map(lambda g: g.mean(axis=0), grads)
+        metrics = {k: v.mean() for k, v in auxes.items()}
+        return mean_grads, bs, metrics
+
+    def d_step(state, batch, rng, lr, lr1, lr_d, wd, drop_cls):
+        def loss_builder(params, bstats, xs, mb):
+            mv_res = jnp.concatenate([xs["mv"], xs["residual"]], axis=-1)
+            logits, gen, adv_logits, bs = _forward_gan(
+                model, params, bstats, mv_res, xs["flow"], mb, True)
+            loss_cls = cross_entropy(logits, xs["label"])
+            n = adv_logits.shape[0] // 2
+            adv_labels = jnp.concatenate(
+                [jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32)])
+            loss_adv = cross_entropy(adv_logits, adv_labels)
+            loss = loss_cls + adv * loss_adv
+            top1, top5 = topk_correct(logits, xs["label"], (1, 5))
+            (acc_d,) = topk_correct(adv_logits, adv_labels, (1,))
+            return loss, {"batch_stats": bs, "loss": loss,
+                          "loss_cls": loss_cls, "loss_adv": loss_adv,
+                          "top1": top1, "top5": top5, "acc_D_adv": acc_d}
+
+        grads, bstats, metrics = accumulate(state, batch, rng, loss_builder)
+        params, opt_cls = opts["cls"].update(
+            grads, state.opt_cls, state.params, lr1, wd)
+        params, opt_d = opts["d"].update(grads, state.opt_d, params, lr_d, wd)
+        return state.replace(params=params, batch_stats=bstats,
+                             opt_cls=opt_cls, opt_d=opt_d,
+                             step=state.step + 1), metrics
+
+    def g_step(state, batch, rng, lr, lr1, lr_d, wd, drop_cls):
+        def loss_builder(params, bstats, xs, mb):
+            mv_res = jnp.concatenate([xs["mv"], xs["residual"]], axis=-1)
+            logits, gen, adv_logits, bs = _forward_gan(
+                model, params, bstats, mv_res, xs["flow"], mb, has_gan)
+            loss_cls = cross_entropy(logits, xs["label"])
+            loss_mse = jnp.mean((gen - xs["flow"]) ** 2)
+            cls_w = jnp.where(drop_cls, 0.0, 1.0) if has_gan else 1.0
+            loss = cls_w * loss_cls + loss_mse
+            metrics = {"loss_cls": loss_cls, "loss_mse": loss_mse}
+            if has_gan:
+                n = adv_logits.shape[0] // 2
+                adv_labels = jnp.concatenate(
+                    [jnp.zeros((n,), jnp.int32), jnp.ones((n,), jnp.int32)])
+                loss_adv = cross_entropy(adv_logits, adv_labels)
+                loss = loss + adv * loss_adv
+                metrics["loss_adv"] = loss_adv
+            top1, top5 = topk_correct(logits, xs["label"], (1, 5))
+            metrics.update({"batch_stats": bs, "loss": loss, "top1": top1,
+                            "top5": top5})
+            return loss, metrics
+
+        grads, bstats, metrics = accumulate(state, batch, rng, loss_builder)
+        new = {"batch_stats": bstats, "step": state.step + 1}
+        params = state.params
+        if not has_gan:
+            params, new["opt_cls"] = opts["cls"].update(
+                grads, state.opt_cls, params, lr1, wd)
+        params, new["opt_gf"] = opts["gf"].update(
+            grads, state.opt_gf, params, lr, wd)
+        new["params"] = params
+        return state.replace(**new), metrics
+
+    if jit:
+        return jax.jit(d_step), jax.jit(g_step)
+    return d_step, g_step
+
+
+def make_i3d_eval_step(model, jit=True):
+    def step(state, batch):
+        mv_res = jnp.concatenate([batch["mv"], batch["residual"]], axis=-1)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+        out = model.apply(variables, mv_res, "flow+logit", False, False)
+        logits, gen = out
+        top1, top5 = topk_correct(logits, batch["label"], (1, 5))
+        return {"logits": logits, "top1": top1, "top5": top5}
+
+    return jax.jit(step) if jit else step

@@ -59,6 +59,45 @@ def lr_mult_tree(params, group_mults, default=0.0):
         lambda path, _: mult_for(path), params)
 
 
+class GroupSGD:
+    """torch-semantics SGD(momentum=0.9, nesterov) with per-leaf lr/decay
+    multipliers — the I3D trainer's default optimizer
+    (code/dmcnet_I3D/train_model.py:133-146):
+
+        u   = grad + wd * decay_mult * p
+        buf = momentum * buf + u
+        p  -= lr * lr_mult * (u + momentum * buf)    # nesterov
+    """
+
+    def __init__(self, params, lr_mults, decay_mults, momentum=0.9,
+                 nesterov=True):
+        self.lr_mults = lr_mults
+        self.decay_mults = decay_mults
+        self.momentum = momentum
+        self.nesterov = nesterov
+
+    def init(self, params):
+        return jax.tree.map(jnp.zeros_like, params)
+
+    def update(self, grads, opt_state, params, lr, wd):
+        m, nest = self.momentum, self.nesterov
+
+        def leaf(g, buf, p, dm):
+            u = g + wd * dm * p
+            buf = m * buf + u
+            step = (u + m * buf) if nest else buf
+            return buf, step
+
+        out = jax.tree.map(leaf, grads, opt_state, params, self.decay_mults)
+        bufs = jax.tree.map(lambda o: o[0], out,
+                            is_leaf=lambda o: isinstance(o, tuple))
+        steps = jax.tree.map(lambda o: o[1], out,
+                             is_leaf=lambda o: isinstance(o, tuple))
+        new_params = jax.tree.map(
+            lambda p, s, lm: p - lr * lm * s, params, steps, self.lr_mults)
+        return new_params, bufs
+
+
 class GroupAdam:
     """Adam(eps=1e-3) with per-leaf lr/decay multipliers, masked to a group.
 
