@@ -1,0 +1,250 @@
+"""I3D training driver — reference code/dmcnet_I3D/train_{hmdb51,ucf101}.py
++ train_model.py orchestration.
+
+Differences forced by honesty, not convenience: the reference hardcodes
+cluster paths (iterator_factory.py:61,84,143,167); here --video-prefix /
+--flow-prefix are explicit flags.  Everything else mirrors the reference:
+per-iteration MultiFactorScheduler with lr steps divided by batch size x
+world size (train_model.py:217-241), stage switch with freshly initialized
+optimizers at --epoch-thre, alternating D/G phases by
+i_batch % (2*iter_size), detach gating the base lr, per-epoch eval with
+best-top1 score dump {scores (N, C), labels, top1} (train/model.py:541-577).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmcnet_tpu.data.iterator_factory import creat, dataset_num_classes
+from dmcnet_tpu.data.video_iter import I3DBatchAssembler, i3d_augment_batch
+from dmcnet_tpu.models.i3d import get_symbol, init_i3d_variables
+from dmcnet_tpu.train.checkpoints import load_checkpoint, save_checkpoint
+from dmcnet_tpu.train.engine import TrainState
+from dmcnet_tpu.train.engine_i3d import (
+    make_i3d_eval_step,
+    make_i3d_optimizers,
+    make_i3d_steps,
+)
+from dmcnet_tpu.train.lr_scheduler import MultiFactorScheduler
+from dmcnet_tpu.train.metrics import AverageMeter
+
+
+def build_parser(dataset_default="HMDB51"):
+    p = argparse.ArgumentParser(description="DMC-Net Parser")
+    p.add_argument('--debug-mode', type=bool, default=True)
+    p.add_argument('--dataset', default=dataset_default,
+                   choices=['UCF101', 'HMDB51'])
+    p.add_argument('--split', type=int, default=1)
+    p.add_argument('--clip-length', type=int, default=16)
+    p.add_argument('--train-frame-interval', type=int, default=2)
+    p.add_argument('--val-frame-interval', type=int, default=2)
+    p.add_argument('--task-name', type=str, default='')
+    p.add_argument('--model-dir', type=str, default="./exps/models")
+    p.add_argument('--log-file', type=str, default="")
+    p.add_argument('--accumulate', type=int, default=1)
+    p.add_argument('--mv-minmaxnorm', type=int, default=0)
+    p.add_argument('--mv-loadimg', type=int, default=0)
+    p.add_argument('--detach', type=int, default=0)
+    p.add_argument('--ds_factor', type=int, default=16)
+    p.add_argument('--gpus', type=str, default="0")
+    p.add_argument('--network', type=str, default='I3D', choices=['I3D'])
+    p.add_argument('--arch-estimator', type=str, default=None,
+                   choices=['DenseNet', 'DenseNetSmall', 'DenseNetTiny'])
+    p.add_argument('--arch-d', type=str, default=None)
+    p.add_argument('--pretrained_2d', type=bool, default=False)
+    p.add_argument('--pretrained_3d', type=str, default=None)
+    p.add_argument('--new_classifier', type=bool, default=False)
+    p.add_argument('--resume-epoch', type=int, default=-1)
+    p.add_argument('--modality', type=str, default='rgb',
+                   choices=['rgb', 'flow', 'mv', 'res', 'flow+mp4', 'I'])
+    p.add_argument('--drop-out', type=float, default=0.5)
+    p.add_argument('--adv', type=float, default=0.)
+    p.add_argument('--epoch-thre', type=int, default=1)
+    p.add_argument('--optimizer', type=str, default='sgd',
+                   choices=['sgd', 'adam'])
+    p.add_argument('--fine_tune', type=int, default=1)
+    p.add_argument('--batch-size', type=int, default=32)
+    p.add_argument('--iter-size', type=int, default=1)
+    p.add_argument('--lr-base', type=float, default=0.005)
+    p.add_argument('--lr-base2', type=float, default=0.002)
+    p.add_argument('--lr-d', type=float, default=None)
+    p.add_argument('--lr-steps', type=float, nargs="+",
+                   default=[int(1e4 * x) for x in
+                            [3.5, 6, 8.5, 11, 13.5, 16]])
+    p.add_argument('--lr-factor', type=float, default=0.1)
+    p.add_argument('--save-frequency', type=float, default=1)
+    p.add_argument('--end-epoch', type=int, default=50)
+    p.add_argument('--random-seed', type=int, default=1)
+    # path flags replacing the reference's hardcoded prefixes
+    p.add_argument('--data-root', type=str, default=None,
+                   help="dataset dir containing raw/list_cvt lists")
+    p.add_argument('--video-prefix', type=str, required=False)
+    p.add_argument('--flow-prefix', type=str, default=None)
+    return p
+
+
+def autofill(args):
+    if not args.task_name:
+        args.task_name = os.path.basename(os.getcwd())
+    args.model_prefix = os.path.join(args.model_dir, args.task_name)
+    args.score_dir = ('./exps/score/{}_{}/'.format(args.dataset, args.split)
+                      + args.task_name)
+    if args.data_root is None:
+        args.data_root = f"./dataset/{args.dataset}"
+    return args
+
+
+def main(argv=None, dataset_default="HMDB51", input_size=224):
+    args = autofill(build_parser(dataset_default).parse_args(argv))
+    np.random.seed(args.random_seed)
+    num_classes = dataset_num_classes(args.dataset)
+    net, input_conf = get_symbol(
+        args.network, modality=args.modality, num_classes=num_classes,
+        arch_estimator=args.arch_estimator, arch_d=args.arch_d,
+        dropout_prob=args.drop_out)
+
+    train_ds, val_ds = creat(
+        args.dataset, args.data_root, args.video_prefix, args.flow_prefix,
+        split=args.split, clip_length=args.clip_length,
+        train_interval=args.train_frame_interval,
+        val_interval=args.val_frame_interval, modality=args.modality,
+        accumulate=bool(args.accumulate), ds_factor=args.ds_factor,
+        mv_minmaxnorm=bool(args.mv_minmaxnorm), seed=args.random_seed)
+    train_asm = I3DBatchAssembler(train_ds, input_size=input_size,
+                                  is_train=True, seed=args.random_seed)
+    val_asm = I3DBatchAssembler(val_ds, input_size=input_size,
+                                is_train=False)
+
+    aug = dict(modality=args.modality, ds_factor=args.ds_factor,
+               upsample_interp=False, input_size=input_size,
+               mean=input_conf["mean"][0], std=input_conf["std"][0])
+
+    def stacked_batch(asm, ds, start, iter_size, bs):
+        micro = []
+        for k in range(iter_size):
+            idx = [(start + k * bs + j) % len(ds) for j in range(bs)]
+            micro.append(i3d_augment_batch(asm.batch(idx), **aug))
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+
+    sample = stacked_batch(train_asm, train_ds, 0, 1, 1)
+    x0 = jnp.concatenate([sample["mv"][0], sample["residual"][0]], axis=-1)
+    variables = init_i3d_variables(net, jax.random.key(0), x0)
+    params, bstats = variables["params"], variables.get("batch_stats", {})
+
+    if args.pretrained_3d and os.path.exists(args.pretrained_3d):
+        from dmcnet_tpu.models.import_torch_i3d import load_i3d_pth
+        params, bstats, report = load_i3d_pth(
+            args.pretrained_3d, params, bstats, modality=args.modality)
+        print(f"pretrained_3d: {report}")
+
+    def fresh_state(params, bstats, stage2):
+        opts = make_i3d_optimizers(
+            params, optim=args.optimizer,
+            lr_mul=(0.2 if args.fine_tune or args.modality != "flow+mp4"
+                    else 0.5),
+            has_gan=args.adv > 0, stage2=stage2)
+        state = TrainState(
+            params=params, batch_stats=bstats,
+            opt_cls=opts["cls"].init(params),
+            opt_gf=opts["gf"].init(params),
+            opt_d=opts["d"].init(params) if args.adv > 0 else None)
+        d_step, g_step = make_i3d_steps(net, opts, adv=args.adv)
+        return state, d_step, g_step
+
+    state, d_step, g_step = fresh_state(params, bstats, stage2=False)
+    eval_step = make_i3d_eval_step(net)
+
+    # lr steps divided by effective samples per iteration
+    # (train_model.py:217-222); world_size = number of devices here.
+    world = jax.device_count()
+    step_div = max(1, int(args.batch_size * world))
+    sched_steps = sorted({max(1, int(s // step_div)) for s in args.lr_steps})
+    sched1 = MultiFactorScheduler(sched_steps, args.lr_base, args.lr_factor)
+    sched2 = MultiFactorScheduler(sched_steps, args.lr_base2, args.lr_factor)
+    sched3 = MultiFactorScheduler(
+        sched_steps, args.lr_d if args.lr_d else args.lr_base,
+        args.lr_factor)
+
+    batches_per_epoch = max(1, len(train_ds) //
+                            (args.batch_size * args.iter_size))
+    rng = jax.random.key(args.random_seed)
+    best_top1 = -1.0
+    os.makedirs(args.score_dir, exist_ok=True)
+    os.makedirs(args.model_dir, exist_ok=True)
+    switched = False
+
+    for epoch in range(max(args.resume_epoch, 0), args.end_epoch):
+        if args.modality == "flow+mp4" and epoch == args.epoch_thre \
+                and not switched:
+            print("stage 2: fresh optimizers (reference model.py:347-351)")
+            state, d_step, g_step = fresh_state(
+                state.params, state.batch_stats, stage2=True)
+            switched = True
+        meters = {k: AverageMeter() for k in
+                  ("loss", "loss_cls", "loss_mse", "top1", "speed")}
+        t_epoch = time.time()
+        for i_batch in range(batches_per_epoch):
+            t0 = time.time()
+            batch = stacked_batch(train_asm, train_ds,
+                                  i_batch * args.batch_size * args.iter_size,
+                                  args.iter_size, args.batch_size)
+            rng, srng = jax.random.split(rng)
+            stage1 = epoch + 1 <= args.epoch_thre
+            lr = (sched1 if stage1 else sched2).update()
+            if stage1:
+                sched2.update()
+            lr1 = 0.0 if (args.detach and stage1) else lr
+            lr_d = sched3.update()
+            use_d = args.adv > 0 and i_batch % 2 == 0
+            fn = d_step if use_d else g_step
+            state, metrics = fn(state, batch, srng, jnp.float32(lr),
+                                jnp.float32(lr1), jnp.float32(lr_d),
+                                jnp.float32(1e-4),
+                                jnp.asarray(epoch < 1))
+            n = args.batch_size * args.iter_size
+            for k in ("loss", "loss_cls", "loss_mse", "top1"):
+                if k in metrics:
+                    meters[k].update(float(metrics[k]), n)
+            meters["speed"].update(n / (time.time() - t0))
+            if i_batch % 50 == 0:
+                print(f"Epoch[{epoch}] Batch [{i_batch}]  "
+                      f"Speed: {meters['speed'].avg:.2f} samples/sec  "
+                      f"loss-ce {meters['loss_cls'].avg:.5f}  "
+                      f"top-1 {meters['top1'].avg:.5f}")
+
+        # per-epoch eval with score accumulation (model.py:531-577)
+        scores, labels = [], []
+        top1_m = AverageMeter()
+        for start in range(0, len(val_ds), args.batch_size):
+            idx = list(range(start, min(start + args.batch_size,
+                                        len(val_ds))))
+            b = i3d_augment_batch(val_asm.batch(idx), **aug)
+            m = eval_step(state, b)
+            scores.append(np.asarray(
+                jax.nn.softmax(m["logits"], axis=-1)))
+            labels.append(np.asarray(b["label"]))
+            top1_m.update(float(m["top1"]), len(idx))
+        top1 = top1_m.avg
+        print(f"Epoch[{epoch}] eval top-1: {top1:.3f} "
+              f"({time.time() - t_epoch:.1f}s)")
+        if top1 > best_top1:
+            best_top1 = top1
+            np.savez(os.path.join(args.score_dir, "score_best.npz"),
+                     scores=np.concatenate(scores),
+                     labels=np.concatenate(labels), top1=top1)
+        if epoch % max(int(args.save_frequency), 1) == 0:
+            save_checkpoint(
+                state, {"epoch": epoch, "top1": top1},
+                f"{args.model_prefix}_ep-{epoch:04d}.pth")
+    return best_top1
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,85 @@
+"""I3D data pipeline: clip datasets, samplers, device augmentation."""
+
+import numpy as np
+import pytest
+
+from dmcnet_tpu.codec.mpeg4 import encode_mpeg4
+from dmcnet_tpu.data.lists import VideoItem
+from dmcnet_tpu.data.sampling import RandomSampling, SequentialSampling
+from dmcnet_tpu.data.video_iter import (
+    I3DBatchAssembler,
+    VideoClipDataset,
+    i3d_augment_batch,
+)
+
+H, W, T = 128, 160, 40
+
+
+@pytest.fixture(scope="module")
+def items(tmp_path_factory):
+    root = tmp_path_factory.mktemp("i3d")
+    rng = np.random.default_rng(5)
+    out = []
+    for v in range(2):
+        path = root / f"v{v}.avi"
+        frames = (rng.integers(0, 256, size=(T, H, W, 3)) // 4 * 4).astype(
+            np.uint8)
+        encode_mpeg4(path, frames, gop_size=12, bit_rate=1_000_000)
+        out.append(VideoItem(str(path), v, T, None))
+    return out
+
+
+@pytest.mark.parametrize("modality,ch", [
+    ("flow+mp4", 7), ("mv", 2), ("res", 3), ("rgb", 3), ("I", 3)])
+def test_clip_shapes(items, modality, ch):
+    ds = VideoClipDataset(items, RandomSampling(num=8, seed=0),
+                          modality=modality, mv_minmaxnorm=True)
+    clip, label = ds[0]
+    assert clip.shape == (8, H, W, ch)
+    assert clip.dtype == np.uint8
+
+
+def test_sequential_eval_deterministic_cursor(items):
+    samp = SequentialSampling(num=4, interval=1, fix_cursor=True,
+                              shuffle=False)
+    ds = VideoClipDataset(items, samp, modality="mv")
+    a, _ = ds[0]
+    b, _ = ds[0]
+    np.testing.assert_array_equal(a, b)  # fix_cursor -> same clip
+
+
+def test_fault_tolerance_backup(items):
+    bad = VideoItem("/nonexistent/file.mp4", 0, 10, None)
+    ds = VideoClipDataset([bad] + items, RandomSampling(num=4, seed=1),
+                          modality="mv", max_retries=5, seed=3)
+    clip, label = ds[0]  # retries onto a good item
+    assert clip.shape[0] == 4
+
+
+def test_assembler_and_augment(items):
+    ds = VideoClipDataset(items, RandomSampling(num=4, seed=0),
+                          modality="flow+mp4")
+    asm = I3DBatchAssembler(ds, input_size=64, is_train=True)
+    batch = asm.batch([0, 1])
+    assert batch["frames"].shape == (2, 4, H, W, 7)
+    parts = i3d_augment_batch(batch, modality="flow+mp4", ds_factor=16,
+                              input_size=64)
+    assert parts["mv"].shape == (2, 4, 64, 64, 2)
+    assert parts["residual"].shape == (2, 4, 64, 64, 3)
+    assert parts["flow"].shape == (2, 4, 64, 64, 2)
+    # normalization (x/255 - .5)/.5 puts values in [-1, 1]
+    assert float(np.abs(np.asarray(parts["mv"])).max()) <= 1.0 + 1e-6
+    # blockified flow constant within 16x16 blocks
+    f = np.asarray(parts["flow"])[0, 0, :16, :16, 0]
+    assert np.allclose(f, f[0, 0], atol=1e-5)
+
+
+def test_info_cache(items, tmp_path):
+    info = tmp_path / "info.json"
+    ds1 = VideoClipDataset(items, RandomSampling(num=2, seed=0),
+                           modality="mv", cached_info_path=str(info))
+    assert info.exists()
+    ds2 = VideoClipDataset(items, RandomSampling(num=2, seed=0),
+                           modality="mv", cached_info_path=str(info))
+    assert [i.num_frames for i in ds2.items] == \
+        [i.num_frames for i in ds1.items]
