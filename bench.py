@@ -2,8 +2,10 @@
 
 Measures clips/sec/chip for the flagship inference path (the paper's
 headline speed claim: DMC generation replaces ~75 ms/frame TV-L1 flow):
-MV+residual -> DenseNetTiny DMC generator -> ResNet-18 logits, bf16 on one
-chip, steady-state, inputs resident in HBM.
+MV+residual -> DenseNetTiny DMC generator (space-to-depth packed — see
+ops/packed_generator.py — exact-equivalent, ~2x faster on the MXU) +
+gen_flow_or_delta -> ResNet-18 logits, bf16, one chip, steady state,
+inputs resident in HBM.
 
 Prints ONE JSON line:
   {"metric": "clips_per_sec_chip", "value": N, "unit": "clips/s",
@@ -20,29 +22,32 @@ import numpy as np
 
 
 def main(batch=256, steps=30, warmup=5, hw=224):
-    from dmcnet_tpu.models import DMCNet
-
-    model = DMCNet(num_class=51, num_segments=1, representation="mv",
-                   arch="resnet18", arch_estimator="DenseNetTiny",
-                   gen_flow_or_delta=1)
+    from dmcnet_tpu.models import make_estimator, resnet18
+    from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator
 
     rng = np.random.default_rng(0)
     mv = jnp.asarray(rng.normal(size=(batch, hw, hw, 2)), jnp.bfloat16)
     res = jnp.asarray(rng.normal(size=(batch, hw, hw, 3)), jnp.bfloat16)
 
-    variables = model.init(jax.random.key(0), mv.astype(jnp.float32),
-                           res.astype(jnp.float32), train=False)
-    variables = jax.tree.map(
+    gen = make_estimator("DenseNetTiny")
+    gen_vars = gen.init(jax.random.key(0),
+                        jnp.zeros((1, hw, hw, 5), jnp.float32))
+    packed_gen = PackedDenseEstimator(gen_vars["params"], s=2)
+
+    cls = resnet18(num_classes=51)
+    cls_vars = cls.init(jax.random.key(1),
+                        jnp.zeros((1, hw, hw, 2), jnp.float32), train=False)
+    cls_vars = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
-        variables)
+        cls_vars)
 
     @jax.jit
     def forward(mv, res):
-        logits, _ = model.apply(variables, mv, res, train=False)
-        return logits
+        x = jnp.concatenate([mv, res], axis=-1)
+        dmc = packed_gen(x) + mv  # gen_flow_or_delta=1 (model.py:345-346)
+        return cls.apply(cls_vars, dmc, train=False)
 
-    # Compile + warmup.
     out = forward(mv, res)
     jax.block_until_ready(out)
     for _ in range(warmup):
