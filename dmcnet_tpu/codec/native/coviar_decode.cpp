@@ -43,6 +43,7 @@ struct Handle {
   // All demuxed video packets, in decode order, grouped by GOP.
   std::vector<Packet> packets;
   std::vector<int> gop_start;  // packet index of each GOP's keyframe
+  std::vector<uint8_t> extradata;  // container-level decoder config (mp4)
   int width = 0;
   int height = 0;
   std::string error;
@@ -72,6 +73,10 @@ bool demux_all(Handle* h, const char* path) {
   AVCodecParameters* par = fmt->streams[vstream]->codecpar;
   h->width = par->width;
   h->height = par->height;
+  if (par->extradata && par->extradata_size > 0) {
+    h->extradata.assign(par->extradata,
+                        par->extradata + par->extradata_size);
+  }
 
   AVPacket* pkt = av_packet_alloc();
   while (av_read_frame(fmt, pkt) >= 0) {
@@ -125,11 +130,18 @@ struct Decoder {
   AVCodecContext* ctx = nullptr;
   SwsContext* sws = nullptr;
 
-  bool init(int export_mvs) {
+  bool init(int export_mvs, const std::vector<uint8_t>& extradata = {}) {
     const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_MPEG4);
     if (!codec) return false;
     ctx = avcodec_alloc_context3(codec);
     if (!ctx) return false;
+    if (!extradata.empty()) {
+      // mp4-style containers carry the VOL header out of band.
+      ctx->extradata = (uint8_t*)av_mallocz(
+          extradata.size() + AV_INPUT_BUFFER_PADDING_SIZE);
+      std::memcpy(ctx->extradata, extradata.data(), extradata.size());
+      ctx->extradata_size = (int)extradata.size();
+    }
     AVDictionary* opts = nullptr;
     if (export_mvs) av_dict_set(&opts, "flags2", "+export_mvs", 0);
     int ret = avcodec_open2(ctx, codec, &opts);
@@ -217,7 +229,7 @@ int cv_decode_gop(void* handle, int gop, uint8_t* frames_bgr, int16_t* mv_maps,
                                                  : (int)h->packets.size();
 
   Decoder dec;
-  if (!dec.init(/*export_mvs=*/1)) {
+  if (!dec.init(/*export_mvs=*/1, h->extradata)) {
     set_error(h, "decoder init failed");
     return -1;
   }
@@ -350,6 +362,135 @@ int cv_encode_mpeg4(const char* path, const uint8_t* frames_bgr, int num_frames,
   avcodec_free_context(&ctx);
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
+  return rc;
+}
+
+// ---------------------------------------------------------------------------
+// Dataset-prep transcoder: any input -> MPEG-4 part 2, scaled, fixed GOP.
+// Replaces the reference's ffmpeg-CLI re-encode step
+// (code/dmcnet_I3D/dataset/HMDB51/scripts/convert_videos.py:55 —
+//  `-c:v mpeg4 -filter:v scale=...:360 -b:v 640k -an`).
+// ---------------------------------------------------------------------------
+
+int cv_transcode(const char* in_path, const char* out_path, int target_height,
+                 int gop_size, int64_t bit_rate) {
+  AVFormatContext* infmt = nullptr;
+  if (avformat_open_input(&infmt, in_path, nullptr, nullptr) < 0) return -1;
+  if (avformat_find_stream_info(infmt, nullptr) < 0) {
+    avformat_close_input(&infmt);
+    return -1;
+  }
+  int vstream = av_find_best_stream(infmt, AVMEDIA_TYPE_VIDEO, -1, -1,
+                                    nullptr, 0);
+  if (vstream < 0) {
+    avformat_close_input(&infmt);
+    return -1;
+  }
+  AVCodecParameters* par = infmt->streams[vstream]->codecpar;
+  const AVCodec* dec_codec = avcodec_find_decoder(par->codec_id);
+  AVCodecContext* dec = avcodec_alloc_context3(dec_codec);
+  avcodec_parameters_to_context(dec, par);
+  if (avcodec_open2(dec, dec_codec, nullptr) < 0) {
+    avcodec_free_context(&dec);
+    avformat_close_input(&infmt);
+    return -2;
+  }
+
+  int out_h = target_height > 0 ? target_height : par->height;
+  int out_w = (int)((int64_t)par->width * out_h / par->height) / 2 * 2;
+
+  // Output: reuse the encoder configuration of cv_encode_mpeg4, streaming.
+  const AVCodec* enc_codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  AVFormatContext* outfmt = nullptr;
+  avformat_alloc_output_context2(&outfmt, nullptr, nullptr, out_path);
+  if (!outfmt)
+    avformat_alloc_output_context2(&outfmt, nullptr, "avi", out_path);
+  AVStream* stream = avformat_new_stream(outfmt, nullptr);
+  AVCodecContext* enc = avcodec_alloc_context3(enc_codec);
+  enc->width = out_w;
+  enc->height = out_h;
+  enc->pix_fmt = AV_PIX_FMT_YUV420P;
+  enc->time_base = AVRational{1, 25};
+  enc->gop_size = gop_size;
+  enc->max_b_frames = 0;
+  enc->bit_rate = bit_rate;
+  if (outfmt->oformat->flags & AVFMT_GLOBALHEADER)
+    enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  if (avcodec_open2(enc, enc_codec, nullptr) < 0) return -3;
+  avcodec_parameters_from_context(stream->codecpar, enc);
+  stream->time_base = enc->time_base;
+  if (!(outfmt->oformat->flags & AVFMT_NOFILE)) {
+    if (avio_open(&outfmt->pb, out_path, AVIO_FLAG_WRITE) < 0) return -4;
+  }
+  if (avformat_write_header(outfmt, nullptr) < 0) return -5;
+
+  SwsContext* sws = nullptr;
+  AVFrame* dframe = av_frame_alloc();
+  AVFrame* eframe = av_frame_alloc();
+  eframe->format = AV_PIX_FMT_YUV420P;
+  eframe->width = out_w;
+  eframe->height = out_h;
+  av_frame_get_buffer(eframe, 0);
+  AVPacket* pkt = av_packet_alloc();
+  AVPacket* opkt = av_packet_alloc();
+  int64_t pts = 0;
+  int rc = 0;
+
+  auto flush_enc = [&]() -> bool {
+    while (true) {
+      int ret = avcodec_receive_packet(enc, opkt);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return true;
+      if (ret < 0) return false;
+      av_packet_rescale_ts(opkt, enc->time_base, stream->time_base);
+      opkt->stream_index = stream->index;
+      if (av_interleaved_write_frame(outfmt, opkt) < 0) return false;
+    }
+  };
+
+  auto consume_decoded = [&]() -> bool {
+    while (true) {
+      int ret = avcodec_receive_frame(dec, dframe);
+      if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return true;
+      if (ret < 0) return false;
+      sws = sws_getCachedContext(sws, dframe->width, dframe->height,
+                                 (AVPixelFormat)dframe->format, out_w, out_h,
+                                 AV_PIX_FMT_YUV420P, SWS_BICUBIC, nullptr,
+                                 nullptr, nullptr);
+      av_frame_make_writable(eframe);
+      sws_scale(sws, dframe->data, dframe->linesize, 0, dframe->height,
+                eframe->data, eframe->linesize);
+      eframe->pts = pts++;
+      if (avcodec_send_frame(enc, eframe) < 0 || !flush_enc()) return false;
+      av_frame_unref(dframe);
+    }
+  };
+
+  while (rc == 0 && av_read_frame(infmt, pkt) >= 0) {
+    if (pkt->stream_index == vstream) {
+      if (avcodec_send_packet(dec, pkt) >= 0) {
+        if (!consume_decoded()) rc = -6;
+      }
+    }
+    av_packet_unref(pkt);
+  }
+  if (rc == 0) {
+    avcodec_send_packet(dec, nullptr);
+    if (!consume_decoded()) rc = -6;
+    avcodec_send_frame(enc, nullptr);
+    if (!flush_enc()) rc = -7;
+  }
+  av_write_trailer(outfmt);
+
+  av_packet_free(&pkt);
+  av_packet_free(&opkt);
+  av_frame_free(&dframe);
+  av_frame_free(&eframe);
+  if (sws) sws_freeContext(sws);
+  avcodec_free_context(&dec);
+  avcodec_free_context(&enc);
+  if (!(outfmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&outfmt->pb);
+  avformat_free_context(outfmt);
+  avformat_close_input(&infmt);
   return rc;
 }
 

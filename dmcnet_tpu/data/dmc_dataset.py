@@ -130,7 +130,11 @@ class CoviarDataset:
             flow = np.full(frames.shape[1:3] + (2,), 128, np.uint8)
 
         if self.representation == "iframe":
-            mid = frames[0][..., ::-1]  # BGR -> RGB (dataset.py:207-208)
+            iframe = frames[0]
+            if self.is_train:
+                from dmcnet_tpu.data.color import color_aug
+                iframe = color_aug(iframe, self.rng)  # dataset.py:204-205
+            mid = iframe[..., ::-1]  # BGR -> RGB (dataset.py:207-208)
         else:
             bound = 20 if self.mv_minmaxnorm == 1 else None
             mid = _encode_u8(mv_acc[gop_pos], bound)

@@ -119,9 +119,10 @@ def make_train_step(model, opts, *, num_segments, lr_cls_w, lr_mse_w,
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
-            (logits, gen_flow), mutated = model.apply(
+            outs, mutated = model.apply(
                 variables, batch["mv"], batch["residual"], train=True,
                 mutable=["batch_stats"], rngs={"dropout": rng})
+            logits, gen_flow = outs[0], outs[1]
             consensus = segment_consensus(logits, num_segments)
             loss_cls = cross_entropy(consensus, labels)
             loss_rec = rec_loss(gen_flow, flow)
@@ -161,11 +162,18 @@ def make_eval_step(model, *, num_segments, lr_cls_w, lr_mse_w,
         flow = batch["flow"].reshape((-1,) + batch["flow"].shape[-3:])
         labels = batch["label"]
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        logits, gen_flow = model.apply(
+        outs = model.apply(
             variables, batch["mv"], batch["residual"], train=False)
+        logits, gen_flow = outs[0], outs[1]
         consensus = segment_consensus(logits, num_segments)
         loss_cls = cross_entropy(consensus, labels)
-        loss_rec = rec_loss(gen_flow, flow)
+        if getattr(model, "att", 0):
+            # attention-weighted reconstruction (reference validate,
+            # train.py:332-335)
+            att_flow = outs[-1]
+            loss_rec = rec_loss(att_flow * gen_flow, att_flow * flow)
+        else:
+            loss_rec = rec_loss(gen_flow, flow)
         top1, top5 = topk_correct(consensus, labels, (1, 5))
         return {
             "loss": loss_cls * lr_cls_w + loss_rec * lr_mse_w,
