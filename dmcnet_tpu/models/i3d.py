@@ -104,6 +104,9 @@ class I3D(nn.Module):
     dropout_prob: float = 0.0
     arch_estimator: Optional[str] = None
     arch_d: Optional[str] = None
+    remat: bool = False  # rematerialize Mixed blocks (activation ckpt) —
+    # the TPU realization of the reference's imported-but-unused
+    # checkpoint_sequential (i3d.py:19); trades FLOPs for HBM on long clips.
 
     @property
     def in_channels(self):
@@ -118,15 +121,18 @@ class I3D(nn.Module):
         self.conv3d_2b_1x1 = Unit3D(64, (1, 1, 1))
         self.conv3d_2c_3x3 = Unit3D(192, (3, 3, 3))
         # setup-assigned submodules take their attribute names automatically.
-        self.mixed_3b = Mixed(_MIXED_PLAN["mixed_3b"])
-        self.mixed_3c = Mixed(_MIXED_PLAN["mixed_3c"])
-        self.mixed_4b = Mixed(_MIXED_PLAN["mixed_4b"])
-        self.mixed_4c = Mixed(_MIXED_PLAN["mixed_4c"])
-        self.mixed_4d = Mixed(_MIXED_PLAN["mixed_4d"])
-        self.mixed_4e = Mixed(_MIXED_PLAN["mixed_4e"])
-        self.mixed_4f = Mixed(_MIXED_PLAN["mixed_4f"])
-        self.mixed_5b = Mixed(_MIXED_PLAN["mixed_5b"])
-        self.mixed_5c = Mixed(_MIXED_PLAN["mixed_5c"])
+        # With remat, activations inside each Mixed block are recomputed in
+        # the backward pass (param names unchanged).
+        mixed = nn.remat(Mixed, static_argnums=(2,)) if self.remat else Mixed
+        self.mixed_3b = mixed(_MIXED_PLAN["mixed_3b"])
+        self.mixed_3c = mixed(_MIXED_PLAN["mixed_3c"])
+        self.mixed_4b = mixed(_MIXED_PLAN["mixed_4b"])
+        self.mixed_4c = mixed(_MIXED_PLAN["mixed_4c"])
+        self.mixed_4d = mixed(_MIXED_PLAN["mixed_4d"])
+        self.mixed_4e = mixed(_MIXED_PLAN["mixed_4e"])
+        self.mixed_4f = mixed(_MIXED_PLAN["mixed_4f"])
+        self.mixed_5b = mixed(_MIXED_PLAN["mixed_5b"])
+        self.mixed_5c = mixed(_MIXED_PLAN["mixed_5c"])
         self.conv3d_0c_1x1 = Unit3D(400, (1, 1, 1), activation=None,
                                     use_bias=True, use_bn=False)
         self.dropout = nn.Dropout(self.dropout_prob)

@@ -1,0 +1,62 @@
+"""Multi-host (multi-process) initialization and data sharding helpers.
+
+The TPU-native replacement for the reference's vestigial
+DistributedDataParallel path (code/dmcnet_I3D/train_model.py:117-120,
+rank-seeded iterators :38-40, world-size lr scaling :218-222): one jitted
+program spans all hosts' devices; each host feeds only its local shard of
+the global batch, and XLA handles every collective over ICI/DCN.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """`jax.distributed.initialize` wrapper; no-op when single-process."""
+    if num_processes in (None, 1):
+        return False
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
+def process_seed(base_seed):
+    """Per-host seed offset (reference train_model.py:38-40 uses
+    torch.distributed rank for iterator seeding)."""
+    return base_seed + jax.process_index()
+
+
+def local_shard_indices(global_batch, drop_remainder=True):
+    """Index range of this host's shard of a length-`global_batch` batch."""
+    n_proc = jax.process_count()
+    per = global_batch // n_proc
+    start = jax.process_index() * per
+    return range(start, start + per)
+
+
+def global_batch_from_local(local_batch, mesh, axis_name="data"):
+    """Assemble a global device array from per-host local shards.
+
+    `local_batch` leaves have leading dim = global_batch / process_count.
+    Uses `jax.make_array_from_process_local_data` so the result is a single
+    global array sharded over the mesh's data axis.
+    """
+    sharding = NamedSharding(mesh, P(axis_name))
+
+    def one(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return jax.tree.map(one, local_batch)
+
+
+def effective_lr_step_divisor(batch_size):
+    """lr-step division by batch * world size (train_model.py:217-222)."""
+    return max(1, batch_size * jax.device_count())
