@@ -46,6 +46,12 @@ def _lib():
         ctypes.c_void_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
         ctypes.c_int]
+    lib.cv_decode_gop_blocks.restype = ctypes.c_int
+    lib.cv_decode_gop_blocks.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
     lib.cv_encode_mpeg4.restype = ctypes.c_int
     lib.cv_encode_mpeg4.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -111,6 +117,36 @@ class VideoReader:
                 if old != gop:
                     self._cache.pop(old, None)
         return frames, mv_maps
+
+    def decode_gop_blocks(self, gop, max_blocks=None):
+        """Decode one GOP including raw MV block lists.
+
+        Returns (frames (T,H,W,3) uint8, mv_maps (T,H,W,2) int16,
+        blocks (T, max_blocks, 6) int32 [src_x,src_y,dst_x,dst_y,w,h],
+        n_blocks (T,) int32) — the input of the Pallas back-tracing kernel.
+        """
+        n = self.gop_len(gop)
+        if n <= 0:
+            raise IndexError(f"gop {gop} out of range")
+        if max_blocks is None:
+            # 4MV mode can emit four 8x8 blocks per macroblock.
+            max_blocks = 4 * ((self.height + 15) // 16) * \
+                ((self.width + 15) // 16)
+        frames = np.zeros((n, self.height, self.width, 3), np.uint8)
+        mv_maps = np.zeros((n, self.height, self.width, 2), np.int16)
+        blocks = np.zeros((n, max_blocks, 6), np.int32)
+        n_blocks = np.zeros((n,), np.int32)
+        with self._lock:
+            got = self._lib.cv_decode_gop_blocks(
+                self._handle, gop,
+                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
+                blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                n_blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                max_blocks)
+        if got < 0:
+            raise IOError(f"decode failed for gop {gop}")
+        return frames[:got], mv_maps[:got], blocks[:got], n_blocks[:got]
 
     def close(self):
         if self._handle is not None:

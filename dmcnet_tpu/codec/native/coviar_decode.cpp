@@ -220,8 +220,31 @@ int cv_gop_len(void* handle, int gop) {
 // Decode one GOP: fills `frames_bgr` (max_frames, H, W, 3) uint8 and
 // `mv_maps` (max_frames, H, W, 2) int16 (zero-filled by callee), returns the
 // number of frames decoded (<= max_frames), or -1 on error.
+// When `blocks` is non-null it also exports the raw motion-vector block
+// list per frame: (max_frames, max_blocks, 6) int32 rows of
+// [src_x, src_y, dst_x, dst_y, w, h] (block centres, like AVMotionVector),
+// with per-frame counts in `n_blocks` — the input format of the Pallas
+// back-tracing kernel (ops/pallas_backtrace.py).
+static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
+                           int16_t* mv_maps, int max_frames, int32_t* blocks,
+                           int32_t* n_blocks, int max_blocks);
+
 int cv_decode_gop(void* handle, int gop, uint8_t* frames_bgr, int16_t* mv_maps,
                   int max_frames) {
+  return decode_gop_impl(handle, gop, frames_bgr, mv_maps, max_frames,
+                         nullptr, nullptr, 0);
+}
+
+int cv_decode_gop_blocks(void* handle, int gop, uint8_t* frames_bgr,
+                         int16_t* mv_maps, int max_frames, int32_t* blocks,
+                         int32_t* n_blocks, int max_blocks) {
+  return decode_gop_impl(handle, gop, frames_bgr, mv_maps, max_frames,
+                         blocks, n_blocks, max_blocks);
+}
+
+static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
+                           int16_t* mv_maps, int max_frames, int32_t* blocks,
+                           int32_t* n_blocks, int max_blocks) {
   auto* h = static_cast<Handle*>(handle);
   if (!cv_ok(handle) || gop < 0 || gop >= (int)h->gop_start.size()) return -1;
   int begin = h->gop_start[gop];
@@ -237,6 +260,11 @@ int cv_decode_gop(void* handle, int gop, uint8_t* frames_bgr, int16_t* mv_maps,
   const size_t frame_px = (size_t)h->width * h->height;
   std::memset(frames_bgr, 0, (size_t)max_frames * frame_px * 3);
   std::memset(mv_maps, 0, (size_t)max_frames * frame_px * 2 * sizeof(int16_t));
+  if (blocks) {
+    std::memset(blocks, 0,
+                (size_t)max_frames * max_blocks * 6 * sizeof(int32_t));
+    std::memset(n_blocks, 0, (size_t)max_frames * sizeof(int32_t));
+  }
 
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
@@ -252,9 +280,29 @@ int cv_decode_gop(void* handle, int gop, uint8_t* frames_bgr, int16_t* mv_maps,
         AVFrameSideData* sd =
             av_frame_get_side_data(frame, AV_FRAME_DATA_MOTION_VECTORS);
         if (sd) {
-          rasterize((const AVMotionVector*)sd->data,
-                    (int)(sd->size / sizeof(AVMotionVector)), h->width,
-                    h->height, mv_maps + (size_t)out_idx * frame_px * 2);
+          const AVMotionVector* mvs = (const AVMotionVector*)sd->data;
+          int n = (int)(sd->size / sizeof(AVMotionVector));
+          rasterize(mvs, n, h->width, h->height,
+                    mv_maps + (size_t)out_idx * frame_px * 2);
+          if (blocks) {
+            int count = 0;
+            int32_t* row = blocks + (size_t)out_idx * max_blocks * 6;
+            for (int i = 0; i < n && count < max_blocks; ++i) {
+              if (mvs[i].dst_x == mvs[i].src_x &&
+                  mvs[i].dst_y == mvs[i].src_y)
+                continue;  // zero motion: skipped by the reference (c:92)
+              row[count * 6 + 0] = mvs[i].src_x;
+              row[count * 6 + 1] = mvs[i].src_y;
+              row[count * 6 + 2] = mvs[i].dst_x;
+              row[count * 6 + 3] = mvs[i].dst_y;
+              row[count * 6 + 4] = mvs[i].w;
+              row[count * 6 + 5] = mvs[i].h;
+              ++count;
+            }
+            n_blocks[out_idx] = count;
+          }
+        } else if (blocks) {
+          n_blocks[out_idx] = 0;
         }
       }
       ++out_idx;

@@ -1,0 +1,197 @@
+"""Pallas TPU kernel for GOP motion back-tracing — the codec's hot loop.
+
+Computes the same accu_src recursion as `codec.accumulate.backtrace_gop`
+(reference semantics coviar_data_loader.c:111-115) as ONE Pallas program:
+
+  * the (padded) accumulator lives in VMEM across the whole GOP — TPU grid
+    steps execute sequentially, so a ping-pong pair of scratch planes
+    carries it with zero HBM round-trips (the XLA scan+gather formulation
+    re-materializes the carry each step and its general gather lowers
+    poorly on TPU);
+  * motion is consumed as a per-8x8-cell MV map (MPEG-4 exports block
+    motion on a macroblock grid, so the dense per-pixel map is constant on
+    8x8 cells — `cell_mv_from_dense` extracts and validates this);
+  * Mosaic only allows lane-dim dynamic slices at 128-aligned offsets, so
+    each cell's source window is fetched by an aligned (16, 256) load and
+    realigned in-register with dynamic rotates (`pltpu.roll`); results for
+    the 16 cells of a 128-lane "supercell" are assembled in registers and
+    written with one aligned store;
+  * per-pixel source/destination bounds masks reproduce the reference's
+    boundary clipping (c:105-108); 128-pixel padding keeps every load
+    in-bounds for |mv| <= 120 (larger motion falls back to the XLA path).
+
+`backtrace_gop_cells` is the jit entry; `backtrace_gop_pallas` is the
+dense-map drop-in with automatic fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CELL = 8
+SUPER = 128          # lanes per supercell = 16 cells
+PAD = 128            # alignment + motion slack; supports |mv| <= PAD - 8
+MAX_MV = PAD - CELL
+
+
+def cell_mv_from_dense(mv_maps, cell=CELL):
+    """Extract the per-cell MV map from dense per-pixel maps.
+
+    Returns (cell_mv (T, H/cell, W/cell, 2) int32, ok); ok is False when a
+    cell carries two different nonzero motions or |mv| exceeds MAX_MV
+    (caller falls back to the XLA path).
+    """
+    mv = np.asarray(mv_maps, np.int32)
+    t, h, w, _ = mv.shape
+    assert h % cell == 0 and w % cell == 0, (h, w)
+    cells = mv.reshape(t, h // cell, cell, w // cell, cell, 2)
+    cells = cells.transpose(0, 1, 3, 2, 4, 5)
+    flat = cells.reshape(t, h // cell, w // cell, cell * cell, 2)
+    mag = np.abs(flat).sum(-1)
+    pick = mag.argmax(-1)
+    cell_mv = np.take_along_axis(
+        flat, pick[..., None, None], axis=3)[..., 0, :]
+    nonzero = mag > 0
+    matches = (flat == cell_mv[..., None, :]).all(-1)
+    ok = bool((matches | ~nonzero).all()) and bool(
+        np.abs(cell_mv).max(initial=0) <= MAX_MV)
+    return cell_mv, ok
+
+
+def _kernel(cmv_ref, out_ref, scratch, height, width, ncy, ncx):
+    # scratch planes: index = buffer(0/1) * 2 + channel(x=0, y=1).
+    t = pl.program_id(0)
+    n_super = pl.cdiv(ncx * CELL, SUPER)
+
+    cell_rows = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 0)
+    cell_cols = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 1)
+
+    @pl.when(t == 0)
+    def _init():
+        ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        scratch[0, PAD:PAD + height, PAD:PAD + width] = xs
+        scratch[1, PAD:PAD + height, PAD:PAD + width] = ys
+
+    @pl.when(t > 0)
+    def _step():
+        prev = ((t - 1) % 2) * 2
+        cur = (t % 2) * 2
+
+        def super_body(idx, _):
+            cy = idx // n_super
+            sc = idx % n_super
+            dy = pl.multiple_of(PAD + cy * CELL, CELL)
+            dxs = pl.multiple_of(PAD + sc * SUPER, SUPER)
+
+            for ch in range(2):
+                # Start from the previous frame's values (uncovered pixels
+                # keep their accu_src, reference semantics).
+                acc = scratch[prev + ch, pl.ds(dy, CELL), pl.ds(dxs, SUPER)]
+                pieces = []
+                for k in range(SUPER // CELL):
+                    cx = sc * (SUPER // CELL) + k
+                    in_grid = cx < ncx
+                    mvx = jnp.where(in_grid, cmv_ref[0, cy,
+                                                     jnp.minimum(cx, ncx - 1),
+                                                     0], 0)
+                    mvy = jnp.where(in_grid, cmv_ref[0, cy,
+                                                     jnp.minimum(cx, ncx - 1),
+                                                     1], 0)
+                    sy0 = dy - mvy
+                    sx0 = dxs + k * CELL - mvx
+                    rbase = pl.multiple_of((sy0 // CELL) * CELL, CELL)
+                    cbase = pl.multiple_of((sx0 // SUPER) * SUPER, SUPER)
+                    win = scratch[prev + ch, pl.ds(rbase, 2 * CELL),
+                                  pl.ds(cbase, 2 * SUPER)]
+                    # Realign: want win[sy0-rbase : +8, sx0-cbase : +8].
+                    dr = sy0 - rbase
+                    dc = sx0 - cbase
+                    win = pltpu.roll(win, (2 * CELL - dr) % (2 * CELL), 0)
+                    win = pltpu.roll(win, (2 * SUPER - dc) % (2 * SUPER), 1)
+                    src = win[0:CELL, 0:CELL]
+                    ys = cy * CELL + cell_rows
+                    xs = cx * CELL + cell_cols
+                    sy = ys - mvy
+                    sx = xs - mvx
+                    valid = ((sy >= 0) & (sy < height) & (sx >= 0)
+                             & (sx < width) & (xs < width) & in_grid)
+                    pieces.append(
+                        jnp.where(valid, src, acc[:, k * CELL:(k + 1) * CELL]))
+                scratch[cur + ch, pl.ds(dy, CELL), pl.ds(dxs, SUPER)] = \
+                    jnp.concatenate(pieces, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, ncy * n_super, super_body, 0)
+
+    cur = (t % 2) * 2
+    out_ref[0, 0] = scratch[cur + 0, PAD:PAD + height, PAD:PAD + width]
+    out_ref[0, 1] = scratch[cur + 1, PAD:PAD + height, PAD:PAD + width]
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def backtrace_gop_cells(cell_mv, height, width):
+    """cell_mv (T, ncy, ncx, 2) int32 -> accu_src (T, 2, H, W) int32,
+    channel 0 = src_x, 1 = src_y (channels-leading; `accu_to_hwc` converts
+    to the codec.accumulate layout)."""
+    t, ncy, ncx, _ = cell_mv.shape
+    # Lane size must cover the supercell sweep plus the widest aligned
+    # source window (cbase can exceed the last supercell start by SUPER).
+    wp = ((width + SUPER - 1) // SUPER) * SUPER + 2 * PAD + SUPER
+    hp = height + 2 * PAD
+    kernel = functools.partial(_kernel, height=height, width=width,
+                               ncy=ncy, ncx=ncx)
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[pl.BlockSpec((1, ncy, ncx, 2), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2, height, width),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, 2, height, width), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((4, hp, wp), jnp.int32)],
+    )(cell_mv)
+
+
+def accu_to_hwc(accu):
+    """(T, 2, H, W) -> (T, H, W, 2) matching codec.accumulate layout."""
+    return jnp.transpose(accu, (0, 2, 3, 1))
+
+
+def backtrace_gop_pallas(mv_maps):
+    """Dense-map convenience wrapper with automatic XLA fallback."""
+    from dmcnet_tpu.codec.accumulate import backtrace_gop
+
+    mv_maps = np.asarray(mv_maps)
+    _, h, w, _ = mv_maps.shape
+    if h % CELL or w % CELL:
+        return backtrace_gop(mv_maps)
+    cell_mv, ok = cell_mv_from_dense(mv_maps)
+    if not ok:
+        return backtrace_gop(mv_maps)
+    accu = backtrace_gop_cells(jnp.asarray(cell_mv), h, w)
+    return accu_to_hwc(accu)
+
+
+def gop_mv_residual_pallas(mv_maps, frames_bgr):
+    """Drop-in twin of codec.accumulate.gop_mv_residual (accumulate mode):
+    Pallas back-trace + XLA residual gather (accumulated sources are
+    per-pixel arbitrary, outside the cell trick's reach).  ~4x faster than
+    the all-XLA path on v5e (1.75 ms vs 7.1 ms per 256x320x12 GOP)."""
+    from dmcnet_tpu.codec.accumulate import (
+        accumulated_mv_from_src,
+        accumulated_residual_from_src,
+    )
+
+    accu_src = backtrace_gop_pallas(mv_maps)
+    mv = accumulated_mv_from_src(accu_src).at[0].set(0)
+    res = accumulated_residual_from_src(
+        jnp.asarray(frames_bgr), accu_src).at[0].set(0)
+    return mv, res

@@ -86,3 +86,26 @@ def test_train_test_combine(corpus, tmp_path, monkeypatch):
         score_file + ".npz", score_file + ".npz", score_file + ".npz",
         score_file + ".npz")
     assert n == NVID and 0.0 <= fused_acc <= 1.0
+
+
+def test_train_gan_cli(corpus, tmp_path, monkeypatch):
+    """GAN variant through the CLI: alternating D/G, 3 optimizers,
+    init from the no-GAN flow (reference exp_my/hmdb51_gan workflow)."""
+    from dmcnet_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    args = [
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--flow-root", corpus["flow_root"],
+        "--representation", "mv", "--arch", "resnet18",
+        "--arch_estimator", "DenseNetTiny", "--arch_d", "Discriminator4",
+        "--num_segments", "2", "--gen_flow_or_delta", "1",
+        "--train-list", corpus["list"], "--test-list", corpus["list"],
+        "--epochs", "1", "--batch-size", "3", "--lr", "0.001",
+        "--eval-freq", "1", "--workers", "2",
+        "--model-prefix", str(tmp_path / "gan"),
+    ]
+    best = train_cli.main(args, gan=True, input_size=64)
+    assert best >= 0.0
+    import os
+    assert os.path.exists(str(tmp_path / "gan_mv_checkpoint.pth.tar"))

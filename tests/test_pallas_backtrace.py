@@ -1,0 +1,81 @@
+"""Pallas back-tracing kernel vs the NumPy golden model (interpret mode on
+CPU; the same code compiles on TPU)."""
+
+import numpy as np
+import pytest
+
+from dmcnet_tpu.codec.semantics import accumulate_gop_numpy
+from dmcnet_tpu.codec.synthetic import dense_mv_maps, synthetic_gop
+from dmcnet_tpu.ops import pallas_backtrace as pb
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    """Run pallas_call in interpreter mode for CPU testing."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_cell_mv_extraction(rng):
+    blocks, _ = synthetic_gop(rng, num_frames=4, height=64, width=96,
+                              block_size=16, max_motion=10)
+    dense = dense_mv_maps(blocks, 64, 96)
+    cell_mv, ok = pb.cell_mv_from_dense(dense)
+    assert ok
+    assert cell_mv.shape == (4, 8, 12, 2)
+    # Interior 16x16 blocks put the same value in their four 8x8 cells.
+    for b in blocks[1]:
+        if b.val == (0, 0):
+            continue
+        cy, cx = (b.dst_y - 8) // 8, (b.dst_x - 8) // 8
+        if 1 <= cy < 7 and 1 <= cx < 11:
+            assert tuple(cell_mv[1, cy, cx]) == b.val
+
+
+def test_kernel_matches_golden(rng):
+    blocks, _ = synthetic_gop(rng, num_frames=5, height=64, width=96,
+                              block_size=16, max_motion=10)
+    dense = dense_mv_maps(blocks, 64, 96)
+    accu = np.asarray(pb.backtrace_gop_pallas(dense))
+    for t in range(5):
+        golden = accumulate_gop_numpy(blocks, 64, 96, t)
+        np.testing.assert_array_equal(accu[t], golden)
+
+
+def test_kernel_boundary_motion(rng):
+    """Strong motion near borders exercises the per-pixel clipping masks."""
+    blocks, _ = synthetic_gop(rng, num_frames=4, height=48, width=64,
+                              block_size=16, max_motion=20)
+    dense = dense_mv_maps(blocks, 48, 64)
+    accu = np.asarray(pb.backtrace_gop_pallas(dense))
+    for t in range(4):
+        golden = accumulate_gop_numpy(blocks, 48, 64, t)
+        np.testing.assert_array_equal(accu[t], golden)
+
+
+def test_full_mv_residual_parity(rng):
+    from dmcnet_tpu.codec.semantics import load_like_coviar_numpy
+
+    blocks, frames = synthetic_gop(rng, num_frames=4, height=64, width=96,
+                                   block_size=16, max_motion=10)
+    dense = dense_mv_maps(blocks, 64, 96)
+    mv, res = pb.gop_mv_residual_pallas(dense, frames)
+    for t in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(mv)[t],
+            load_like_coviar_numpy(blocks, frames, t, "mv", True))
+        np.testing.assert_array_equal(
+            np.asarray(res)[t],
+            load_like_coviar_numpy(blocks, frames, t, "residual", True))
+
+
+def test_fallback_on_inconsistent_cells(rng):
+    dense = np.zeros((3, 16, 16, 2), np.int32)
+    dense[1, 0, 0] = (1, 0)  # two different nonzero values in one cell
+    dense[1, 0, 1] = (2, 0)
+    _, ok = pb.cell_mv_from_dense(dense)
+    assert not ok
+    out = np.asarray(pb.backtrace_gop_pallas(dense))  # XLA fallback
+    assert out.shape == (3, 16, 16, 2)
