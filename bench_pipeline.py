@@ -1,0 +1,109 @@
+"""Full TPU-resident serving pipeline benchmark (informational).
+
+End-to-end on-device path per GOP, everything after the host's entropy
+decode: dense MV maps + decoded frames (as produced once per GOP by the
+native front-end) -> Pallas motion back-tracing -> accumulated MV +
+residual -> normalization -> center crop -> packed DMC generator ->
+ResNet-18 logits.  This is the pipeline the reference runs as
+(C extension per frame) + (host transforms) + (GPU convnets).
+
+The driver-facing headline metric stays in bench.py; this script reports
+the pipeline breakdown.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(n_gops=8, gop_len=12, height=256, width=320, crop=224):
+    from dmcnet_tpu.codec.synthetic import dense_mv_maps, synthetic_gop
+    from dmcnet_tpu.models import make_estimator, resnet18
+    from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator
+    from dmcnet_tpu.ops.pallas_backtrace import (
+        backtrace_warp_gop_cells,
+        cell_mv_from_dense,
+    )
+
+    rng = np.random.default_rng(0)
+    gops = [synthetic_gop(rng, num_frames=gop_len, height=height,
+                          width=width, block_size=16, max_motion=12)
+            for _ in range(n_gops)]
+    cell_mvs, frames = [], []
+    for blocks, fr in gops:
+        cm, ok = cell_mv_from_dense(dense_mv_maps(blocks, height, width))
+        assert ok
+        cell_mvs.append(cm)
+        frames.append(fr)
+    cell_mvs = jnp.asarray(np.stack(cell_mvs))
+    frames = jnp.asarray(np.stack(frames))
+
+    gen = make_estimator("DenseNetTiny")
+    gen_vars = gen.init(jax.random.key(0),
+                        jnp.zeros((1, crop, crop, 5), jnp.float32))
+    packed_gen = PackedDenseEstimator(gen_vars["params"], s=2)
+    cls = resnet18(num_classes=51)
+    cls_vars = cls.init(jax.random.key(1),
+                        jnp.zeros((1, crop, crop, 2), jnp.float32),
+                        train=False)
+    cls_vars = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
+        cls_vars)
+
+    mean_std = 0.2261  # (x-0.5)/mean(ImageNet std), dataset.py:260-262
+    y0 = (height - crop) // 2
+    x0 = (width - crop) // 2
+
+    ident_x = jnp.arange(width, dtype=jnp.int32)[None, None, :]
+    ident_y = jnp.arange(height, dtype=jnp.int32)[None, :, None]
+
+    @jax.jit
+    def pipeline(cell_mvs, frames):
+        logits_all = []
+        for g in range(n_gops):  # sequential Pallas launches per GOP
+            iframe = jnp.transpose(frames[g, 0].astype(jnp.int32), (2, 0, 1))
+            accu, warped = backtrace_warp_gop_cells(
+                cell_mvs[g], iframe, height, width)
+            # mv = own position - traced source; res = frame - warped base.
+            mv = jnp.stack([ident_x - accu[1:, 0], ident_y - accu[1:, 1]],
+                           axis=-1)
+            res = frames[g, 1:].astype(jnp.int32) - \
+                jnp.transpose(warped[1:], (0, 2, 3, 1))
+            # mv_minmaxnorm(20) + +128 + /255 + (x-.5)/std, constants folded
+            mv_n = (mv.astype(jnp.float32) * (127.5 / 20.0) + 0.5) \
+                / (255.0 * mean_std)
+            res_n = (res.astype(jnp.float32) + 0.5) / 255.0
+            res_n = (res_n - 0.0) / jnp.asarray([0.229, 0.224, 0.225])
+            mv_c = mv_n[:, y0:y0 + crop, x0:x0 + crop].astype(jnp.bfloat16)
+            res_c = res_n[:, y0:y0 + crop, x0:x0 + crop].astype(jnp.bfloat16)
+            dmc = packed_gen(jnp.concatenate([mv_c, res_c], -1)) + mv_c
+            logits_all.append(cls.apply(cls_vars, dmc, train=False))
+        return jnp.concatenate(logits_all)
+
+    out = pipeline(cell_mvs, frames)
+    jax.block_until_ready(out)
+    for _ in range(3):
+        out = pipeline(cell_mvs, frames)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    steps = 20
+    for _ in range(steps):
+        out = pipeline(cell_mvs, frames)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    clips = n_gops * (gop_len - 1) * steps
+    print(json.dumps({
+        "metric": "pipeline_clips_per_sec_chip",
+        "value": round(clips / dt, 1),
+        "unit": "clips/s",
+        "note": "codec backtrace + residual + normalize + crop + DMC + "
+                "ResNet-18, fully on device",
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -159,6 +159,10 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         return state, d_step, g_step
 
     state, d_step, g_step = fresh_state(params, bstats, stage2=False)
+    if args.resume_epoch >= 0:
+        ckpt = f"{args.model_prefix}_ep-{args.resume_epoch:04d}.pth"
+        state, meta = load_checkpoint(state, ckpt)
+        print(f"resumed from {ckpt} (epoch {meta.get('epoch')})")
     eval_step = make_i3d_eval_step(net)
 
     # lr steps divided by effective samples per iteration

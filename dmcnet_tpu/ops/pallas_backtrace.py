@@ -18,7 +18,7 @@ Computes the same accu_src recursion as `codec.accumulate.backtrace_gop`
     written with one aligned store;
   * per-pixel source/destination bounds masks reproduce the reference's
     boundary clipping (c:105-108); 128-pixel padding keeps every load
-    in-bounds for |mv| <= 120 (larger motion falls back to the XLA path).
+    in-bounds for |mv| <= 56 (larger motion falls back to the XLA path).
 
 `backtrace_gop_cells` is the jit entry; `backtrace_gop_pallas` is the
 dense-map drop-in with automatic fallback.
@@ -36,8 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 CELL = 8
 SUPER = 128          # lanes per supercell = 16 cells
-PAD = 128            # alignment + motion slack; supports |mv| <= PAD - 8
-MAX_MV = PAD - CELL
+PAD_R = 64           # row (sublane) padding: motion slack only
+PAD_C = 128          # lane padding: must stay 128-aligned for stores
+MAX_MV = PAD_R - CELL
 
 
 def cell_mv_from_dense(mv_maps, cell=CELL):
@@ -64,75 +65,120 @@ def cell_mv_from_dense(mv_maps, cell=CELL):
     return cell_mv, ok
 
 
+def _shift_cells_multi(specs, cmv_ref, height, width, ncy, ncx):
+    """Apply one frame's per-cell motion shift to several scratch refs.
+
+    `specs`: list of (ref, prev_base_plane, cur_base_plane, n_planes).
+    Shared body of the accu-only and accu+warp kernels.
+    """
+    n_super = pl.cdiv(ncx * CELL, SUPER)
+    cell_rows = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 0)
+    cell_cols = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 1)
+
+    def super_body(idx, _):
+        cy = idx // n_super
+        sc = idx % n_super
+        dy = pl.multiple_of(PAD_R + cy * CELL, CELL)
+        dxs = pl.multiple_of(PAD_C + sc * SUPER, SUPER)
+
+        # Per-cell motion and masks are shared across planes.
+        cell_meta = []
+        for k in range(SUPER // CELL):
+            cx = sc * (SUPER // CELL) + k
+            in_grid = cx < ncx
+            cxc = jnp.minimum(cx, ncx - 1)
+            mvx = jnp.where(in_grid, cmv_ref[0, cy, cxc, 0], 0)
+            mvy = jnp.where(in_grid, cmv_ref[0, cy, cxc, 1], 0)
+            ys = cy * CELL + cell_rows
+            xs = cx * CELL + cell_cols
+            valid = ((ys - mvy >= 0) & (ys - mvy < height)
+                     & (xs - mvx >= 0) & (xs - mvx < width)
+                     & (xs < width) & in_grid)
+            cell_meta.append((mvx, mvy, valid))
+
+        for ref, prev, cur, n in specs:
+            for ch in range(n):
+                acc = ref[prev + ch, pl.ds(dy, CELL), pl.ds(dxs, SUPER)]
+                pieces = []
+                for k, (mvx, mvy, valid) in enumerate(cell_meta):
+                    sy0 = dy - mvy
+                    sx0 = dxs + k * CELL - mvx
+                    rbase = pl.multiple_of((sy0 // CELL) * CELL, CELL)
+                    cbase = pl.multiple_of((sx0 // SUPER) * SUPER, SUPER)
+                    win = ref[prev + ch, pl.ds(rbase, 2 * CELL),
+                              pl.ds(cbase, 2 * SUPER)]
+                    # Realign to win[sy0-rbase : +8, sx0-cbase : +8].
+                    win = pltpu.roll(
+                        win, (2 * CELL - (sy0 - rbase)) % (2 * CELL), 0)
+                    win = pltpu.roll(
+                        win, (2 * SUPER - (sx0 - cbase)) % (2 * SUPER), 1)
+                    src = win[0:CELL, 0:CELL]
+                    pieces.append(jnp.where(
+                        valid, src, acc[:, k * CELL:(k + 1) * CELL]))
+                ref[cur + ch, pl.ds(dy, CELL), pl.ds(dxs, SUPER)] = \
+                    jnp.concatenate(pieces, axis=1)
+        return 0
+
+    jax.lax.fori_loop(0, ncy * n_super, super_body, 0)
+
+
 def _kernel(cmv_ref, out_ref, scratch, height, width, ncy, ncx):
     # scratch planes: index = buffer(0/1) * 2 + channel(x=0, y=1).
     t = pl.program_id(0)
-    n_super = pl.cdiv(ncx * CELL, SUPER)
-
-    cell_rows = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 0)
-    cell_cols = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 1)
 
     @pl.when(t == 0)
     def _init():
         ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-        scratch[0, PAD:PAD + height, PAD:PAD + width] = xs
-        scratch[1, PAD:PAD + height, PAD:PAD + width] = ys
+        scratch[0, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = xs
+        scratch[1, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = ys
 
     @pl.when(t > 0)
     def _step():
-        prev = ((t - 1) % 2) * 2
-        cur = (t % 2) * 2
-
-        def super_body(idx, _):
-            cy = idx // n_super
-            sc = idx % n_super
-            dy = pl.multiple_of(PAD + cy * CELL, CELL)
-            dxs = pl.multiple_of(PAD + sc * SUPER, SUPER)
-
-            for ch in range(2):
-                # Start from the previous frame's values (uncovered pixels
-                # keep their accu_src, reference semantics).
-                acc = scratch[prev + ch, pl.ds(dy, CELL), pl.ds(dxs, SUPER)]
-                pieces = []
-                for k in range(SUPER // CELL):
-                    cx = sc * (SUPER // CELL) + k
-                    in_grid = cx < ncx
-                    mvx = jnp.where(in_grid, cmv_ref[0, cy,
-                                                     jnp.minimum(cx, ncx - 1),
-                                                     0], 0)
-                    mvy = jnp.where(in_grid, cmv_ref[0, cy,
-                                                     jnp.minimum(cx, ncx - 1),
-                                                     1], 0)
-                    sy0 = dy - mvy
-                    sx0 = dxs + k * CELL - mvx
-                    rbase = pl.multiple_of((sy0 // CELL) * CELL, CELL)
-                    cbase = pl.multiple_of((sx0 // SUPER) * SUPER, SUPER)
-                    win = scratch[prev + ch, pl.ds(rbase, 2 * CELL),
-                                  pl.ds(cbase, 2 * SUPER)]
-                    # Realign: want win[sy0-rbase : +8, sx0-cbase : +8].
-                    dr = sy0 - rbase
-                    dc = sx0 - cbase
-                    win = pltpu.roll(win, (2 * CELL - dr) % (2 * CELL), 0)
-                    win = pltpu.roll(win, (2 * SUPER - dc) % (2 * SUPER), 1)
-                    src = win[0:CELL, 0:CELL]
-                    ys = cy * CELL + cell_rows
-                    xs = cx * CELL + cell_cols
-                    sy = ys - mvy
-                    sx = xs - mvx
-                    valid = ((sy >= 0) & (sy < height) & (sx >= 0)
-                             & (sx < width) & (xs < width) & in_grid)
-                    pieces.append(
-                        jnp.where(valid, src, acc[:, k * CELL:(k + 1) * CELL]))
-                scratch[cur + ch, pl.ds(dy, CELL), pl.ds(dxs, SUPER)] = \
-                    jnp.concatenate(pieces, axis=1)
-            return 0
-
-        jax.lax.fori_loop(0, ncy * n_super, super_body, 0)
+        _shift_cells_multi(
+            [(scratch, ((t - 1) % 2) * 2, (t % 2) * 2, 2)], cmv_ref,
+            height, width, ncy, ncx)
 
     cur = (t % 2) * 2
-    out_ref[0, 0] = scratch[cur + 0, PAD:PAD + height, PAD:PAD + width]
-    out_ref[0, 1] = scratch[cur + 1, PAD:PAD + height, PAD:PAD + width]
+    out_ref[0, 0] = scratch[cur + 0, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+    out_ref[0, 1] = scratch[cur + 1, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+
+
+def _kernel_warp(cmv_ref, iframe_ref, out_ref, warp_ref, scratch, wscratch,
+                 height, width, ncy, ncx):
+    """Back-trace AND carry the motion-compensated I-frame.
+
+    W_t[p] = base[accu_t[p]] satisfies the same recursion
+    W_t[p] = W_{t-1}[p - mv_t[p]], so the warped-base planes ride the same
+    per-cell shifts; the accumulated residual is then just
+    frame_t - W_t (computed outside, elementwise).  Warp planes are int32
+    (Mosaic cannot dynamic-rotate bf16 vectors)."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _init():
+        ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+        scratch[0, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = xs
+        scratch[1, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = ys
+        for c in range(3):
+            wscratch[c, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = \
+                iframe_ref[0, c]
+
+    @pl.when(t > 0)
+    def _step():
+        _shift_cells_multi(
+            [(scratch, ((t - 1) % 2) * 2, (t % 2) * 2, 2),
+             (wscratch, ((t - 1) % 2) * 3, (t % 2) * 3, 3)],
+            cmv_ref, height, width, ncy, ncx)
+
+    cur2 = (t % 2) * 2
+    cur3 = (t % 2) * 3
+    out_ref[0, 0] = scratch[cur2 + 0, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+    out_ref[0, 1] = scratch[cur2 + 1, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+    for c in range(3):
+        warp_ref[0, c] = wscratch[cur3 + c, PAD_R:PAD_R + height,
+                                  PAD_C:PAD_C + width]
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -143,8 +189,8 @@ def backtrace_gop_cells(cell_mv, height, width):
     t, ncy, ncx, _ = cell_mv.shape
     # Lane size must cover the supercell sweep plus the widest aligned
     # source window (cbase can exceed the last supercell start by SUPER).
-    wp = ((width + SUPER - 1) // SUPER) * SUPER + 2 * PAD + SUPER
-    hp = height + 2 * PAD
+    wp = ((width + SUPER - 1) // SUPER) * SUPER + 2 * PAD_C + SUPER
+    hp = height + 2 * PAD_R
     kernel = functools.partial(_kernel, height=height, width=width,
                                ncy=ncy, ncx=ncx)
     return pl.pallas_call(
@@ -163,6 +209,47 @@ def backtrace_gop_cells(cell_mv, height, width):
 def accu_to_hwc(accu):
     """(T, 2, H, W) -> (T, H, W, 2) matching codec.accumulate layout."""
     return jnp.transpose(accu, (0, 2, 3, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def backtrace_warp_gop_cells(cell_mv, iframe_chw, height, width):
+    """Back-trace + warped I-frame in one kernel.
+
+    Args:
+      cell_mv: (T, ncy, ncx, 2) int32.
+      iframe_chw: (3, H, W) int32 — the GOP's I-frame, channels first.
+
+    Returns (accu (T, 2, H, W) int32, warped (T, 3, H, W) int32) where
+    warped[t] = iframe[accu[t]] — so the accumulated residual is
+    frames[t] - warped[t].
+    """
+    t, ncy, ncx, _ = cell_mv.shape
+    wp = ((width + SUPER - 1) // SUPER) * SUPER + 2 * PAD_C + SUPER
+    hp = height + 2 * PAD_R
+    kernel = functools.partial(_kernel_warp, height=height, width=width,
+                               ncy=ncy, ncx=ncx)
+    return pl.pallas_call(
+        kernel,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, ncy, ncx, 2), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, height, width), lambda i: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 2, height, width), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, height, width), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, 2, height, width), jnp.int32),
+            jax.ShapeDtypeStruct((t, 3, height, width), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((4, hp, wp), jnp.int32),
+                        pltpu.VMEM((6, hp, wp), jnp.int32)],
+    )(cell_mv, iframe_chw[None])
 
 
 def backtrace_gop_pallas(mv_maps):

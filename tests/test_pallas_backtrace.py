@@ -71,6 +71,31 @@ def test_full_mv_residual_parity(rng):
             load_like_coviar_numpy(blocks, frames, t, "residual", True))
 
 
+def test_warp_kernel_parity(rng):
+    """Accu + warped-I-frame kernel: residual = frame - warped must match
+    the golden residual."""
+    import jax.numpy as jnp
+
+    from dmcnet_tpu.codec.semantics import load_like_coviar_numpy
+
+    blocks, frames = synthetic_gop(rng, num_frames=4, height=64, width=96,
+                                   block_size=16, max_motion=10)
+    dense = dense_mv_maps(blocks, 64, 96)
+    cell_mv, ok = pb.cell_mv_from_dense(dense)
+    assert ok
+    iframe = jnp.asarray(frames[0].transpose(2, 0, 1), jnp.int32)
+    accu, warped = pb.backtrace_warp_gop_cells(
+        jnp.asarray(cell_mv), iframe, 64, 96)
+    warped = np.asarray(warped).transpose(0, 2, 3, 1)
+    for t in range(1, 4):
+        res = frames[t].astype(np.int32) - warped[t].astype(np.int32)
+        golden = load_like_coviar_numpy(blocks, frames, t, "residual", True)
+        np.testing.assert_array_equal(res, golden)
+        golden_accu = accumulate_gop_numpy(blocks, 64, 96, t)
+        np.testing.assert_array_equal(
+            np.asarray(accu)[t].transpose(1, 2, 0), golden_accu)
+
+
 def test_fallback_on_inconsistent_cells(rng):
     dense = np.zeros((3, 16, 16, 2), np.int32)
     dense[1, 0, 0] = (1, 0)  # two different nonzero values in one cell
