@@ -119,17 +119,34 @@ def main(argv=None, gan=False, input_size=224):
         best_prec1 = meta.get("best_prec1", 0.0)
         print(f"=> loaded checkpoint '{args.resume}' (epoch {start_epoch})")
 
+    # Data-parallel mesh over all visible devices: batch sharded on the
+    # 'data' axis, state replicated, gradient all-reduce emitted by XLA
+    # (replaces reference DataParallel, train.py:117).
+    n_dev = jax.device_count()
+    use_mesh = n_dev > 1 and args.batch_size % n_dev == 0
+    if use_mesh:
+        from dmcnet_tpu.parallel import (
+            make_mesh, make_sharded_train_step, replicate_state, shard_batch)
+        mesh = make_mesh()
+        state = replicate_state(state, mesh)
+        wrap = lambda fn: make_sharded_train_step(fn, mesh)
+        place = lambda b: shard_batch(b, mesh)
+    else:
+        wrap = jax.jit
+        place = lambda b: b
+
     if gan:
         d_step, g_step = make_gan_train_steps(
             model, opts, num_segments=args.num_segments,
             lr_cls_w=args.lr_cls, lr_adv_g=args.lr_adv_g,
             lr_adv_d=args.lr_adv_d, lr_mse_w=args.lr_mse,
-            loss_mse=args.loss_mse)
+            loss_mse=args.loss_mse, jit=False)
+        d_step, g_step = wrap(d_step), wrap(g_step)
     else:
-        train_step = make_train_step(
+        train_step = wrap(make_train_step(
             model, opts, num_segments=args.num_segments,
             lr_cls_w=args.lr_cls, lr_mse_w=args.lr_mse,
-            loss_mse=args.loss_mse)
+            loss_mse=args.loss_mse, jit=False))
     eval_step = make_eval_step(model, num_segments=args.num_segments,
                                lr_cls_w=args.lr_cls, lr_mse_w=args.lr_mse,
                                loss_mse=args.loss_mse)
@@ -154,7 +171,7 @@ def main(argv=None, gan=False, input_size=224):
         end = time.time()
         for i, raw in enumerate(loader):
             meters["data_time"].update(time.time() - end)
-            batch = augment_train_batch(raw, **aug_kwargs)
+            batch = place(augment_train_batch(raw, **aug_kwargs))
             rng, step_rng = jax.random.split(rng)
             if gan:
                 fn = d_step if i % 2 == 0 else g_step
