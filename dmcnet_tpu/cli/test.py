@@ -131,12 +131,15 @@ def main(argv=None):
 
     @jax.jit
     def forward_video(batch):
-        logits, _ = net.apply(
+        outs = net.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             batch["mv"], batch["residual"], train=False)
-        return segment_consensus(logits, total_seg)
+        consensus = segment_consensus(outs[0], total_seg)
+        validity = outs[2] if args.arch_d else None
+        return consensus, validity
 
     output, video_labels = [], []
+    g_adv_correct, g_adv_total = 0, 0
     proc_start_time = time.time()
     for i in range(len(ds)):
         batch = augment_eval_batch(
@@ -144,7 +147,14 @@ def main(argv=None):
             flow_ds_factor=args.flow_ds_factor,
             upsample_interp=args.upsample_interp,
             input_size=args.input_size)
-        scores = np.asarray(forward_video(batch))  # (1, C)
+        scores, validity = forward_video(batch)
+        scores = np.asarray(scores)  # (1, C)
+        if validity is not None:
+            # adversarial "G accuracy": fraction of generated cues the
+            # discriminator rates real (reference GAN test.py:158,184-192)
+            v = np.asarray(validity)
+            g_adv_correct += int((v.argmax(-1) == 1).sum())
+            g_adv_total += len(v)
         label = int(batch["label"][0])
         output.append((scores, label))
         video_labels.append(label)
@@ -156,6 +166,9 @@ def main(argv=None):
     video_pred = [np.argmax(x[0]) for x in output]
     acc = float(np.mean(np.asarray(video_pred) == np.asarray(video_labels)))
     print(f"Accuracy {acc * 100:.02f}% ({len(video_pred)})")
+    if g_adv_total:
+        print(f"G adversarial accuracy "
+              f"{100.0 * g_adv_correct / g_adv_total:.02f}%")
 
     if args.save_scores is not None:
         name_list = [x.strip().split()[0] for x in open(args.test_list)]

@@ -160,12 +160,17 @@ class I3DBatchAssembler:
     """
 
     def __init__(self, dataset, input_size=224, is_train=True, seed=0,
-                 pad_hw=None):
+                 pad_hw=None, hls_vars=(15, 35, 25)):
         self.ds = dataset
         self.input_size = input_size
         self.is_train = is_train
         self.rng = np.random.default_rng(seed + 7)
         self.pad_hw = pad_hw
+        self.hls_vars = hls_vars
+        # rgb/I train pipelines add RandomScale + RandomHLS
+        # (iterator_factory.py:38-46); scale folds into the crop spec, HLS
+        # jitter runs on host per clip.
+        self.rgb_aug = dataset.modality in ("rgb", "I") and is_train
         self.negate_channels = {"flow+mp4": (0, 2), "mv": (0,),
                                 "flow": (0,)}.get(dataset.modality, ())
 
@@ -182,16 +187,29 @@ class I3DBatchAssembler:
         scales, trans, flips = [], [], []
         cs = self.input_size
         for i, (clip, (h, w)) in enumerate(zip(clips, sizes)):
+            if self.rgb_aug:
+                from dmcnet_tpu.data.color import random_hls
+                clip = np.stack([random_hls(f, self.rng, self.hls_vars)
+                                 for f in clip])
             frames[i, :, :h, :w] = clip
+            crop_h = crop_w = cs
             if self.is_train:
-                oh = int(self.rng.integers(0, max(h - cs, 0) + 1))
-                ow = int(self.rng.integers(0, max(w - cs, 0) + 1))
+                if self.rgb_aug:
+                    # RandomScale(slen 224..288, aspect 0.8..1.25) expressed
+                    # as a larger/smaller source crop resized to input_size.
+                    slen = self.rng.uniform(cs, min(cs * 288 / 224,
+                                                    min(h, w)))
+                    aspect = self.rng.uniform(0.8, 1.25)
+                    crop_h = int(min(h, slen))
+                    crop_w = int(min(w, slen * aspect))
+                oh = int(self.rng.integers(0, max(h - crop_h, 0) + 1))
+                ow = int(self.rng.integers(0, max(w - crop_w, 0) + 1))
                 flip = bool(self.rng.random() < 0.5)
             else:
                 oh, ow = max((h - cs) // 2, 0), max((w - cs) // 2, 0)
                 flip = False
             sh, sw, th, tw = T.crop_spec_to_scale_translate(
-                oh, ow, cs, cs, cs)
+                oh, ow, crop_h, crop_w, cs)
             scales.append((sh, sw))
             trans.append((th, tw))
             flips.append(flip)
