@@ -50,6 +50,34 @@ def checkpoint_name(model_prefix, representation, kind="checkpoint"):
                      kind + ".pth.tar"))
 
 
+def save_checkpoint_orbax(state, meta, directory):
+    """Orbax backend: sharding-aware async-capable checkpointing for
+    multi-host/production runs (the msgpack path above stays the default
+    for single-host parity with the reference's file naming)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "state"),
+                   jax.tree.map(np.asarray, state), force=True)
+    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+        pickle.dump(dict(meta), f)
+    return path
+
+
+def load_checkpoint_orbax(state_template, directory):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(
+            os.path.join(path, "state"),
+            jax.tree.map(np.asarray, state_template))
+    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    return state, meta
+
+
 def load_reference_weights(state, model_variables_template, path):
     """Partial-init from a reference torch checkpoint (--weights semantics:
     prefix-stripped, non-strict; train.py:64-68).  Returns updated
