@@ -9,7 +9,28 @@ benchmark path.
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
+
+
+def gop_mv_residual_native(mv_maps, frames_bgr, accumulate=True):
+    """C++ fast path (cv_accumulate_gop): same outputs as the NumPy twin,
+    ~10-20x faster per data-loader worker."""
+    from dmcnet_tpu.codec.mpeg4 import _lib
+
+    mv_maps = np.ascontiguousarray(mv_maps, np.int16)
+    frames = np.ascontiguousarray(frames_bgr, np.uint8)
+    t, h, w, _ = mv_maps.shape
+    mv_out = np.empty((t, h, w, 2), np.int32)
+    res_out = np.empty((t, h, w, 3), np.int32)
+    _lib().cv_accumulate_gop(
+        mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t, h, w, int(bool(accumulate)),
+        mv_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        res_out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return mv_out, res_out
 
 
 def _identity(height, width):

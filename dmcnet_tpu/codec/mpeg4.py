@@ -52,6 +52,11 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.cv_accumulate_gop.restype = None
+    lib.cv_accumulate_gop.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
     lib.cv_encode_mpeg4.restype = ctypes.c_int
     lib.cv_encode_mpeg4.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,

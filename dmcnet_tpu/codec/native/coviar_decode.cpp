@@ -414,6 +414,68 @@ int cv_encode_mpeg4(const char* path, const uint8_t* frames_bgr, int num_frames,
 }
 
 // ---------------------------------------------------------------------------
+// Host-side fused accumulation (data-loader workers).
+// Same semantics as the device kernels (dense-map formulation of
+// coviar_data_loader.c:88-175): per frame, accu_src[p] = accu_src_old[p-mv]
+// where valid, then mv_out = identity - accu_src and residual =
+// frame - iframe[accu_src].  ~10-20x the vectorized NumPy fallback.
+// ---------------------------------------------------------------------------
+
+void cv_accumulate_gop(const int16_t* mv_maps /* (T,H,W,2) */,
+                       const uint8_t* frames /* (T,H,W,3) */, int t_len,
+                       int height, int width, int accumulate,
+                       int32_t* mv_out /* (T,H,W,2) */,
+                       int32_t* res_out /* (T,H,W,3) */) {
+  const size_t px = (size_t)height * width;
+  std::vector<int32_t> cur(px * 2), prev(px * 2);
+  for (int y = 0; y < height; ++y)
+    for (int x = 0; x < width; ++x) {
+      prev[(y * (size_t)width + x) * 2 + 0] = x;
+      prev[(y * (size_t)width + x) * 2 + 1] = y;
+    }
+  std::memset(mv_out, 0, px * 2 * sizeof(int32_t));
+  std::memset(res_out, 0, px * 3 * sizeof(int32_t));
+  const uint8_t* base = frames;  // I-frame
+  for (int t = 1; t < t_len; ++t) {
+    const int16_t* mv_t = mv_maps + (size_t)t * px * 2;
+    int32_t* mv_o = mv_out + (size_t)t * px * 2;
+    int32_t* res_o = res_out + (size_t)t * px * 3;
+    const uint8_t* frame_t = frames + (size_t)t * px * 3;
+    for (int y = 0; y < height; ++y) {
+      for (int x = 0; x < width; ++x) {
+        size_t i = (size_t)y * width + x;
+        int sx = x - mv_t[i * 2 + 0];
+        int sy = y - mv_t[i * 2 + 1];
+        if (sx < 0) sx = 0; else if (sx >= width) sx = width - 1;
+        if (sy < 0) sy = 0; else if (sy >= height) sy = height - 1;
+        size_t si = (size_t)sy * width + sx;
+        int ax, ay;
+        if (accumulate) {
+          ax = prev[si * 2 + 0];
+          ay = prev[si * 2 + 1];
+          cur[i * 2 + 0] = ax;
+          cur[i * 2 + 1] = ay;
+          mv_o[i * 2 + 0] = x - ax;
+          mv_o[i * 2 + 1] = y - ay;
+        } else {
+          ax = sx;
+          ay = sy;
+          mv_o[i * 2 + 0] = mv_t[i * 2 + 0];
+          mv_o[i * 2 + 1] = mv_t[i * 2 + 1];
+        }
+        const uint8_t* ref_frame =
+            accumulate ? base : frames + (size_t)(t - 1) * px * 3;
+        size_t ri = ((size_t)ay * width + ax) * 3;
+        res_o[i * 3 + 0] = (int32_t)frame_t[i * 3 + 0] - ref_frame[ri + 0];
+        res_o[i * 3 + 1] = (int32_t)frame_t[i * 3 + 1] - ref_frame[ri + 1];
+        res_o[i * 3 + 2] = (int32_t)frame_t[i * 3 + 2] - ref_frame[ri + 2];
+      }
+    }
+    if (accumulate) std::swap(cur, prev);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Dataset-prep transcoder: any input -> MPEG-4 part 2, scaled, fixed GOP.
 // Replaces the reference's ffmpeg-CLI re-encode step
 // (code/dmcnet_I3D/dataset/HMDB51/scripts/convert_videos.py:55 —

@@ -58,7 +58,12 @@ class GopCache:
         if key in self._items:
             return self._items[key]
         frames, mv_maps = reader.decode_gop(gop)
-        mv, res = gop_mv_residual_numpy(mv_maps, frames, accumulate)
+        try:
+            from dmcnet_tpu.codec.host_accumulate import (
+                gop_mv_residual_native)
+            mv, res = gop_mv_residual_native(mv_maps, frames, accumulate)
+        except Exception:
+            mv, res = gop_mv_residual_numpy(mv_maps, frames, accumulate)
         value = (frames, mv, res)
         self._items[key] = value
         self._order.append(key)

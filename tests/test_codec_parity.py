@@ -89,6 +89,23 @@ def test_pos0_zeroed(rng):
     assert (np.asarray(res)[0] == 0).all()
 
 
+@pytest.mark.parametrize("accumulate", [True, False])
+def test_native_host_accumulate_parity(rng, accumulate):
+    """C++ cv_accumulate_gop vs the vectorized NumPy twin (which is itself
+    golden-tested above)."""
+    from dmcnet_tpu.codec.host_accumulate import (
+        gop_mv_residual_native,
+        gop_mv_residual_numpy,
+    )
+
+    blocks, frames = synthetic_gop(rng, num_frames=6, height=48, width=64)
+    dense = dense_mv_maps(blocks, 48, 64).astype(np.int16)
+    a_mv, a_res = gop_mv_residual_numpy(dense, frames, accumulate)
+    b_mv, b_res = gop_mv_residual_native(dense, frames, accumulate)
+    np.testing.assert_array_equal(a_mv, b_mv)
+    np.testing.assert_array_equal(a_res, b_res)
+
+
 def test_batched_vmap(rng):
     import jax
 
