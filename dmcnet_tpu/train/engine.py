@@ -21,7 +21,6 @@ scalars so epoch transitions never recompile.  Batches are NHWC.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Optional
 
 import flax.struct
@@ -96,14 +95,6 @@ def create_train_state(model, rng, sample_batch, lr_cls_mult, lr_mse_mult,
         opt_gf=opts["gf"].init(params),
         opt_d=opts["d"].init(params) if "d" in opts else None)
     return state, opts
-
-
-def _forward_train(model, state, batch, rng):
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    outs, mutated = model.apply(
-        variables, batch["mv"], batch["residual"], train=True,
-        mutable=["batch_stats"], rngs={"dropout": rng})
-    return outs, mutated.get("batch_stats", state.batch_stats)
 
 
 def make_train_step(model, opts, *, num_segments, lr_cls_w, lr_mse_w,
