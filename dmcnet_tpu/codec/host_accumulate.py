@@ -33,6 +33,28 @@ def gop_mv_residual_native(mv_maps, frames_bgr, accumulate=True):
     return mv_out, res_out
 
 
+def gop_mv_residual_u8(mv_maps, frames_bgr, accumulate=True,
+                       minmax_bound=None):
+    """C++ path emitting the uint8-encoded loader representation directly
+    (mv min-max scale + +128 clip; residual +128 clip — dataset.py:195-213):
+    no GIL-bound NumPy post-processing in data-loader workers."""
+    from dmcnet_tpu.codec.mpeg4 import _lib
+
+    mv_maps = np.ascontiguousarray(mv_maps, np.int16)
+    frames = np.ascontiguousarray(frames_bgr, np.uint8)
+    t, h, w, _ = mv_maps.shape
+    mv_u8 = np.empty((t, h, w, 2), np.uint8)
+    res_u8 = np.empty((t, h, w, 3), np.uint8)
+    scale = (127.5 / minmax_bound) if minmax_bound else 0.0
+    _lib().cv_accumulate_gop_u8(
+        mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t, h, w, int(bool(accumulate)), scale,
+        mv_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        res_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return mv_u8, res_u8
+
+
 def _identity(height, width):
     xs, ys = np.meshgrid(np.arange(width, dtype=np.int32),
                          np.arange(height, dtype=np.int32))

@@ -57,6 +57,12 @@ def _lib():
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.cv_accumulate_gop_u8.restype = None
+    lib.cv_accumulate_gop_u8.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.cv_encode_mpeg4.restype = ctypes.c_int
     lib.cv_encode_mpeg4.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
@@ -105,11 +111,13 @@ class VideoReader:
             raise IndexError(f"gop {gop} out of range (num_gops={self.num_gops})")
         frames = np.zeros((n, self.height, self.width, 3), np.uint8)
         mv_maps = np.zeros((n, self.height, self.width, 2), np.int16)
-        with self._lock:
-            got = self._lib.cv_decode_gop(
-                self._handle, gop,
-                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+        # cv_decode_gop is thread-safe (fresh codec context per call; the
+        # handle's packet index is immutable after open) — no lock here, so
+        # loader threads decode different GOPs of one video concurrently.
+        got = self._lib.cv_decode_gop(
+            self._handle, gop,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
         if got < 0:
             raise IOError(f"decode failed for gop {gop}: "
                           f"{self._lib.cv_error(self._handle).decode()}")
@@ -141,14 +149,13 @@ class VideoReader:
         mv_maps = np.zeros((n, self.height, self.width, 2), np.int16)
         blocks = np.zeros((n, max_blocks, 6), np.int32)
         n_blocks = np.zeros((n,), np.int32)
-        with self._lock:
-            got = self._lib.cv_decode_gop_blocks(
-                self._handle, gop,
-                frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
-                blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                n_blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                max_blocks)
+        got = self._lib.cv_decode_gop_blocks(
+            self._handle, gop,
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
+            blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            max_blocks)
         if got < 0:
             raise IOError(f"decode failed for gop {gop}")
         return frames[:got], mv_maps[:got], blocks[:got], n_blocks[:got]

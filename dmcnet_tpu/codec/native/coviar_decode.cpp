@@ -475,6 +475,73 @@ void cv_accumulate_gop(const int16_t* mv_maps /* (T,H,W,2) */,
   }
 }
 
+// uint8-encoded variant for the data loader: emits the reference's encoded
+// representation directly (mv: optional min-max scale (trunc toward zero,
+// matching numpy astype) then +128 clip; residual: +128 clip;
+// dataset.py:195-213), eliminating all GIL-bound NumPy post-processing and
+// shrinking GOP caches 4x.  minmax_scale <= 0 disables the mv scaling.
+void cv_accumulate_gop_u8(const int16_t* mv_maps, const uint8_t* frames,
+                          int t_len, int height, int width, int accumulate,
+                          double minmax_scale, uint8_t* mv_u8 /* (T,H,W,2) */,
+                          uint8_t* res_u8 /* (T,H,W,3) */) {
+  const size_t px = (size_t)height * width;
+  std::vector<int32_t> cur(px * 2), prev(px * 2);
+  for (int y = 0; y < height; ++y)
+    for (int x = 0; x < width; ++x) {
+      prev[(y * (size_t)width + x) * 2 + 0] = x;
+      prev[(y * (size_t)width + x) * 2 + 1] = y;
+    }
+  auto clip_u8 = [](int v) -> uint8_t {
+    return (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+  };
+  std::memset(mv_u8, 128, px * 2);
+  std::memset(res_u8, 128, px * 3);
+  const uint8_t* base = frames;
+  for (int t = 1; t < t_len; ++t) {
+    const int16_t* mv_t = mv_maps + (size_t)t * px * 2;
+    uint8_t* mv_o = mv_u8 + (size_t)t * px * 2;
+    uint8_t* res_o = res_u8 + (size_t)t * px * 3;
+    const uint8_t* frame_t = frames + (size_t)t * px * 3;
+    const uint8_t* ref_frame =
+        accumulate ? base : frames + (size_t)(t - 1) * px * 3;
+    for (int y = 0; y < height; ++y) {
+      for (int x = 0; x < width; ++x) {
+        size_t i = (size_t)y * width + x;
+        int sx = x - mv_t[i * 2 + 0];
+        int sy = y - mv_t[i * 2 + 1];
+        if (sx < 0) sx = 0; else if (sx >= width) sx = width - 1;
+        if (sy < 0) sy = 0; else if (sy >= height) sy = height - 1;
+        size_t si = (size_t)sy * width + sx;
+        int ax, ay, vx, vy;
+        if (accumulate) {
+          ax = prev[si * 2 + 0];
+          ay = prev[si * 2 + 1];
+          cur[i * 2 + 0] = ax;
+          cur[i * 2 + 1] = ay;
+          vx = x - ax;
+          vy = y - ay;
+        } else {
+          ax = sx;
+          ay = sy;
+          vx = mv_t[i * 2 + 0];
+          vy = mv_t[i * 2 + 1];
+        }
+        if (minmax_scale > 0) {
+          vx = (int)(vx * minmax_scale);  // trunc toward zero = np astype
+          vy = (int)(vy * minmax_scale);
+        }
+        mv_o[i * 2 + 0] = clip_u8(vx + 128);
+        mv_o[i * 2 + 1] = clip_u8(vy + 128);
+        size_t ri = ((size_t)ay * width + ax) * 3;
+        res_o[i * 3 + 0] = clip_u8((int)frame_t[i * 3 + 0] - ref_frame[ri + 0] + 128);
+        res_o[i * 3 + 1] = clip_u8((int)frame_t[i * 3 + 1] - ref_frame[ri + 1] + 128);
+        res_o[i * 3 + 2] = clip_u8((int)frame_t[i * 3 + 2] - ref_frame[ri + 2] + 128);
+      }
+    }
+    if (accumulate) std::swap(cur, prev);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // Dataset-prep transcoder: any input -> MPEG-4 part 2, scaled, fixed GOP.
 // Replaces the reference's ffmpeg-CLI re-encode step

@@ -24,7 +24,9 @@ Deliberate divergences (reference quirks, see SURVEY.md §2.5):
 
 from __future__ import annotations
 
+import itertools
 import os
+import threading
 from typing import Optional
 
 import numpy as np
@@ -46,25 +48,28 @@ def _encode_u8(arr, minmax_bound=None):
 
 
 class GopCache:
-    """Per-video accumulated-GOP cache: decode + accumulate once per GOP."""
+    """Per-video accumulated-GOP cache: decode + accumulate + uint8-encode
+    once per GOP, entirely in native code (GIL-free in loader threads)."""
 
-    def __init__(self, max_items=8):
+    def __init__(self, max_items=32):
         self._items = {}
         self._order = []
         self._max = max_items
 
-    def get(self, reader, path, gop, accumulate):
-        key = (path, gop, accumulate)
+    def get(self, reader, path, gop, accumulate, minmax_bound=None):
+        key = (path, gop, accumulate, minmax_bound)
         if key in self._items:
             return self._items[key]
         frames, mv_maps = reader.decode_gop(gop)
         try:
-            from dmcnet_tpu.codec.host_accumulate import (
-                gop_mv_residual_native)
-            mv, res = gop_mv_residual_native(mv_maps, frames, accumulate)
+            from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_u8
+            mv_u8, res_u8 = gop_mv_residual_u8(mv_maps, frames, accumulate,
+                                               minmax_bound)
         except Exception:
             mv, res = gop_mv_residual_numpy(mv_maps, frames, accumulate)
-        value = (frames, mv, res)
+            mv_u8 = _encode_u8(mv, minmax_bound)
+            res_u8 = _encode_u8(res)
+        value = (frames, mv_u8, res_u8)
         self._items[key] = value
         self._order.append(key)
         while len(self._order) > self._max:
@@ -94,7 +99,11 @@ class CoviarDataset:
         self.new_length = new_length
         self.flow_tmpl = ("flow_{0}_{1:05d}.jpg" if flow_folder == "tvl1"
                           else "flow_{0}_{1:05d}.png")
-        self.rng = np.random.default_rng(seed)
+        # numpy Generators are not thread-safe; loader threads derive a
+        # fresh per-item generator from (seed, draw counter).
+        self._seed = seed
+        self._draws = itertools.count()
+        self._draw_lock = threading.Lock()
         self.items = items if items is not None else load_video_list(
             video_list, data_root, flow_root)
         self._readers = {}
@@ -124,8 +133,9 @@ class CoviarDataset:
         """Build one (H, W, 7) uint8 group frame."""
         reader = self._reader(item.path)
         gop_index = max(0, min(gop_index, reader.num_gops - 1))
-        frames, mv_acc, res_acc = self._gops.get(
-            reader, item.path, gop_index, self.accumulate)
+        bound = 20 if self.mv_minmaxnorm == 1 else None
+        frames, mv_u8, res_u8 = self._gops.get(
+            reader, item.path, gop_index, self.accumulate, bound)
         gop_pos = min(gop_pos, len(frames) - 1)
 
         flow_idx = gop_index * self.gop + gop_pos + 1  # 1-based jpgs
@@ -138,17 +148,22 @@ class CoviarDataset:
             iframe = frames[0]
             if self.is_train:
                 from dmcnet_tpu.data.color import color_aug
-                iframe = color_aug(iframe, self.rng)  # dataset.py:204-205
+                with self._draw_lock:
+                    aug_rng = np.random.default_rng(
+                        (self._seed, next(self._draws)))
+                iframe = color_aug(iframe, aug_rng)  # dataset.py:204-205
             mid = iframe[..., ::-1]  # BGR -> RGB (dataset.py:207-208)
         else:
-            bound = 20 if self.mv_minmaxnorm == 1 else None
-            mid = _encode_u8(mv_acc[gop_pos], bound)
-        residual = _encode_u8(res_acc[gop_pos])
+            mid = mv_u8[gop_pos]
+        residual = res_u8[gop_pos]
         return np.concatenate([flow, mid, residual], axis=-1)
 
     def __getitem__(self, index):
+        with self._draw_lock:
+            draw = next(self._draws)
+        rng = np.random.default_rng((self._seed, draw))
         if self.is_train:
-            item = self.items[int(self.rng.integers(len(self.items)))]
+            item = self.items[int(rng.integers(len(self.items)))]
         else:
             item = self.items[index]
         segs = []
@@ -156,7 +171,7 @@ class CoviarDataset:
             if self.is_train:
                 gop_index, gop_pos = train_frame_index(
                     item.num_frames, self.num_segments, seg,
-                    self.representation, self.rng, self.gop)
+                    self.representation, rng, self.gop)
             else:
                 gop_index, gop_pos = test_frame_index(
                     item.num_frames, self.num_segments, seg,
@@ -182,7 +197,9 @@ class BatchAssembler:
         self.scale_size = scale_size
         self.test_crops = test_crops
         self.pad_hw = pad_hw
-        self.rng = np.random.default_rng(seed + 1)
+        self._seed = seed + 1
+        self._draws = itertools.count()
+        self._draw_lock = threading.Lock()
         rep = dataset.representation
         self.scales = (1, .875, .75) if rep in ("mv", "residual", "flow") \
             else (1, .875, .75, .66)
@@ -198,17 +215,20 @@ class BatchAssembler:
         return out
 
     def train_batch(self, indices):
+        with self._draw_lock:
+            draw = next(self._draws)
+        rng = np.random.default_rng((self._seed, draw))
         stacks, labels, sizes = zip(*(self.ds[i] for i in indices))
         frames = self._pad(stacks, sizes)
         scales, trans, flips = [], [], []
         for (h, w) in sizes:
             oh, ow, ch, cw = T.sample_multiscale_crop(
-                self.rng, h, w, self.input_size, self.scales)
+                rng, h, w, self.input_size, self.scales)
             sh, sw, th, tw = T.crop_spec_to_scale_translate(
                 oh, ow, ch, cw, self.input_size)
             scales.append((sh, sw))
             trans.append((th, tw))
-            flips.append(self.rng.random() < 0.5)
+            flips.append(rng.random() < 0.5)
         return {
             "frames": frames,
             "scales": np.asarray(scales, np.float32),

@@ -30,7 +30,7 @@ import numpy as np
 from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_numpy
 from dmcnet_tpu.codec.mpeg4 import VideoReader
 from dmcnet_tpu.data import transforms as T
-from dmcnet_tpu.data.dmc_dataset import GopCache, _encode_u8
+from dmcnet_tpu.data.dmc_dataset import GopCache
 from dmcnet_tpu.data.sampling import SequentialSampling, get_gop_pos_i3d
 
 _CHANNELS = {"rgb": 3, "I": 3, "res": 3, "mv": 2, "flow": 2, "flow+mp4": 7}
@@ -93,16 +93,16 @@ class VideoClipDataset:
                                              self.gop)
         reader = self._reader(item.path)
         gop_index = max(0, min(gop_index, reader.num_gops - 1))
-        frames, mv_acc, res_acc = self._gops.get(
-            reader, item.path, gop_index, self.accumulate)
+        bound = 20 if self.mv_minmaxnorm else None
+        frames, mv_enc, res_enc = self._gops.get(
+            reader, item.path, gop_index, self.accumulate, bound)
         gop_pos = min(gop_pos, len(frames) - 1)
 
         def mv_u8():
-            bound = 20 if self.mv_minmaxnorm else None
-            return _encode_u8(mv_acc[gop_pos], bound)
+            return mv_enc[gop_pos]
 
         def res_u8():
-            return _encode_u8(res_acc[gop_pos])
+            return res_enc[gop_pos]
 
         def flow_u8():
             if item.flow_path is None:

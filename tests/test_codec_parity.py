@@ -106,6 +106,30 @@ def test_native_host_accumulate_parity(rng, accumulate):
     np.testing.assert_array_equal(a_res, b_res)
 
 
+@pytest.mark.parametrize("accumulate", [True, False])
+@pytest.mark.parametrize("bound", [None, 20])
+def test_native_u8_encode_parity(rng, accumulate, bound):
+    """cv_accumulate_gop_u8 must match accumulate + the reference's numpy
+    encode chain (min-max truncation, +128 clip; dataset.py:195-213)."""
+    from dmcnet_tpu.codec.host_accumulate import (
+        gop_mv_residual_numpy,
+        gop_mv_residual_u8,
+    )
+
+    blocks, frames = synthetic_gop(rng, num_frames=6, height=48, width=64)
+    dense = dense_mv_maps(blocks, 48, 64).astype(np.int16)
+    mv, res = gop_mv_residual_numpy(dense, frames, accumulate)
+    if bound:
+        mv_ref = (mv.astype(np.float64) * (127.5 / bound)).astype(np.int32)
+    else:
+        mv_ref = mv
+    mv_ref = np.clip(mv_ref + 128, 0, 255).astype(np.uint8)
+    res_ref = np.clip(res + 128, 0, 255).astype(np.uint8)
+    mv_u8, res_u8 = gop_mv_residual_u8(dense, frames, accumulate, bound)
+    np.testing.assert_array_equal(mv_u8, mv_ref)
+    np.testing.assert_array_equal(res_u8, res_ref)
+
+
 def test_batched_vmap(rng):
     import jax
 
