@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_native
+from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_u8
 from dmcnet_tpu.codec.mpeg4 import VideoReader
 from dmcnet_tpu.data.transforms import IMAGENET_STD, MEAN_STD
 from dmcnet_tpu.models import DMCNet
@@ -83,14 +83,14 @@ class DMCPredictor:
         size = self.input_size
         bound = 20.0 if self.mv_minmaxnorm else None
 
+        del bound  # encoding happens natively (gop_mv_residual_u8)
+
         @jax.jit
         def fn(mv, res):
-            # encode-domain normalization with constants folded
-            mv = mv.astype(jnp.float32)
-            if bound:
-                mv = mv * (127.5 / bound)
-            mv = (mv + 0.5) / (255.0 * MEAN_STD)
-            res = ((res.astype(jnp.float32) + 0.5) / 255.0) \
+            # inputs are the uint8-encoded representation; normalize exactly
+            # like the training pipeline (dataset.py:251-263)
+            mv = (mv.astype(jnp.float32) / 255.0 - 0.5) / MEAN_STD
+            res = (res.astype(jnp.float32) / 255.0 - 0.5) \
                 / jnp.asarray(IMAGENET_STD)
             x = jnp.concatenate([mv, res], axis=-1)
             if self.packed is not None:
@@ -125,7 +125,9 @@ class DMCPredictor:
                 frames, mv_maps = reader.decode_gop(g)
                 if len(frames) < 2:
                     continue
-                mv, res = gop_mv_residual_native(mv_maps, frames, True)
+                mv, res = gop_mv_residual_u8(
+                    mv_maps, frames, True,
+                    20 if self.mv_minmaxnorm else None)
                 pick = np.linspace(1, len(frames) - 1,
                                    min(frames_per_gop, len(frames) - 1))
                 pick = np.unique(np.round(pick).astype(int))
