@@ -24,7 +24,7 @@ def main(n_gops=8, gop_len=12, height=256, width=320, crop=224):
     from dmcnet_tpu.models import make_estimator, resnet18
     from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator
     from dmcnet_tpu.ops.pallas_backtrace import (
-        backtrace_warp_gop_cells,
+        backtrace_warp_batch,
         cell_mv_from_dense,
     )
 
@@ -58,31 +58,32 @@ def main(n_gops=8, gop_len=12, height=256, width=320, crop=224):
     y0 = (height - crop) // 2
     x0 = (width - crop) // 2
 
-    ident_x = jnp.arange(width, dtype=jnp.int32)[None, None, :]
-    ident_y = jnp.arange(height, dtype=jnp.int32)[None, :, None]
+    ident_x = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
+    ident_y = jnp.arange(height, dtype=jnp.int32)[None, None, :, None]
 
     @jax.jit
     def pipeline(cell_mvs, frames):
-        logits_all = []
-        for g in range(n_gops):  # sequential Pallas launches per GOP
-            iframe = jnp.transpose(frames[g, 0].astype(jnp.int32), (2, 0, 1))
-            accu, warped = backtrace_warp_gop_cells(
-                cell_mvs[g], iframe, height, width)
-            # mv = own position - traced source; res = frame - warped base.
-            mv = jnp.stack([ident_x - accu[1:, 0], ident_y - accu[1:, 1]],
-                           axis=-1)
-            res = frames[g, 1:].astype(jnp.int32) - \
-                jnp.transpose(warped[1:], (0, 2, 3, 1))
-            # mv_minmaxnorm(20) + +128 + /255 + (x-.5)/std, constants folded
-            mv_n = (mv.astype(jnp.float32) * (127.5 / 20.0) + 0.5) \
-                / (255.0 * mean_std)
-            res_n = (res.astype(jnp.float32) + 0.5) / 255.0
-            res_n = (res_n - 0.0) / jnp.asarray([0.229, 0.224, 0.225])
-            mv_c = mv_n[:, y0:y0 + crop, x0:x0 + crop].astype(jnp.bfloat16)
-            res_c = res_n[:, y0:y0 + crop, x0:x0 + crop].astype(jnp.bfloat16)
-            dmc = packed_gen(jnp.concatenate([mv_c, res_c], -1)) + mv_c
-            logits_all.append(cls.apply(cls_vars, dmc, train=False))
-        return jnp.concatenate(logits_all)
+        # One batched Pallas launch for all GOPs (grid (G, T)).
+        iframes = jnp.transpose(frames[:, 0].astype(jnp.int32), (0, 3, 1, 2))
+        accu, warped = backtrace_warp_batch(cell_mvs, iframes, height, width)
+        # mv = own position - traced source; res = frame - warped base;
+        # crop FIRST so normalization touches 224^2 only.
+        mv = jnp.stack([ident_x - accu[:, 1:, 0],
+                        ident_y - accu[:, 1:, 1]], axis=-1)
+        res = frames[:, 1:].astype(jnp.int32) - \
+            jnp.transpose(warped[:, 1:], (0, 1, 3, 4, 2))
+        mv = mv[:, :, y0:y0 + crop, x0:x0 + crop]
+        res = res[:, :, y0:y0 + crop, x0:x0 + crop]
+        # mv_minmaxnorm(20) + +128 + /255 + (x-.5)/std, constants folded
+        mv_n = ((mv.astype(jnp.float32) * (127.5 / 20.0) + 0.5)
+                / (255.0 * mean_std)).astype(jnp.bfloat16)
+        res_n = (((res.astype(jnp.float32) + 0.5) / 255.0)
+                 / jnp.asarray([0.229, 0.224, 0.225])).astype(jnp.bfloat16)
+        n_clips = n_gops * (gop_len - 1)
+        mv_c = mv_n.reshape((n_clips, crop, crop, 2))
+        res_c = res_n.reshape((n_clips, crop, crop, 3))
+        dmc = packed_gen(jnp.concatenate([mv_c, res_c], -1)) + mv_c
+        return cls.apply(cls_vars, dmc, train=False)
 
     out = pipeline(cell_mvs, frames)
     jax.block_until_ready(out)

@@ -65,11 +65,12 @@ def cell_mv_from_dense(mv_maps, cell=CELL):
     return cell_mv, ok
 
 
-def _shift_cells_multi(specs, cmv_ref, height, width, ncy, ncx):
+def _shift_cells_multi(specs, cmv_read, height, width, ncy, ncx):
     """Apply one frame's per-cell motion shift to several scratch refs.
 
-    `specs`: list of (ref, prev_base_plane, cur_base_plane, n_planes).
-    Shared body of the accu-only and accu+warp kernels.
+    `specs`: list of (ref, prev_base_plane, cur_base_plane, n_planes);
+    `cmv_read(cy, cx, c)` reads one motion scalar (kernels differ in block
+    rank).  Shared body of the accu-only and accu+warp kernels.
     """
     n_super = pl.cdiv(ncx * CELL, SUPER)
     cell_rows = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 0)
@@ -87,8 +88,8 @@ def _shift_cells_multi(specs, cmv_ref, height, width, ncy, ncx):
             cx = sc * (SUPER // CELL) + k
             in_grid = cx < ncx
             cxc = jnp.minimum(cx, ncx - 1)
-            mvx = jnp.where(in_grid, cmv_ref[0, cy, cxc, 0], 0)
-            mvy = jnp.where(in_grid, cmv_ref[0, cy, cxc, 1], 0)
+            mvx = jnp.where(in_grid, cmv_read(cy, cxc, 0), 0)
+            mvy = jnp.where(in_grid, cmv_read(cy, cxc, 1), 0)
             ys = cy * CELL + cell_rows
             xs = cx * CELL + cell_cols
             valid = ((ys - mvy >= 0) & (ys - mvy < height)
@@ -136,7 +137,8 @@ def _kernel(cmv_ref, out_ref, scratch, height, width, ncy, ncx):
     @pl.when(t > 0)
     def _step():
         _shift_cells_multi(
-            [(scratch, ((t - 1) % 2) * 2, (t % 2) * 2, 2)], cmv_ref,
+            [(scratch, ((t - 1) % 2) * 2, (t % 2) * 2, 2)],
+            lambda cy, cx, c: cmv_ref[0, cy, cx, c],
             height, width, ncy, ncx)
 
     cur = (t % 2) * 2
@@ -152,8 +154,12 @@ def _kernel_warp(cmv_ref, iframe_ref, out_ref, warp_ref, scratch, wscratch,
     W_t[p] = W_{t-1}[p - mv_t[p]], so the warped-base planes ride the same
     per-cell shifts; the accumulated residual is then just
     frame_t - W_t (computed outside, elementwise).  Warp planes are int32
-    (Mosaic cannot dynamic-rotate bf16 vectors)."""
-    t = pl.program_id(0)
+    (Mosaic cannot dynamic-rotate bf16 vectors).
+
+    Grid is (G, T) with T innermost: TPU iterates the grid sequentially in
+    row-major order, so each GOP's frames run in order and `t == 0`
+    re-initializes the VMEM accumulator for the next GOP."""
+    t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _init():
@@ -170,15 +176,18 @@ def _kernel_warp(cmv_ref, iframe_ref, out_ref, warp_ref, scratch, wscratch,
         _shift_cells_multi(
             [(scratch, ((t - 1) % 2) * 2, (t % 2) * 2, 2),
              (wscratch, ((t - 1) % 2) * 3, (t % 2) * 3, 3)],
-            cmv_ref, height, width, ncy, ncx)
+            lambda cy, cx, c: cmv_ref[0, 0, cy, cx, c],
+            height, width, ncy, ncx)
 
     cur2 = (t % 2) * 2
     cur3 = (t % 2) * 3
-    out_ref[0, 0] = scratch[cur2 + 0, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
-    out_ref[0, 1] = scratch[cur2 + 1, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+    out_ref[0, 0, 0] = scratch[cur2 + 0, PAD_R:PAD_R + height,
+                               PAD_C:PAD_C + width]
+    out_ref[0, 0, 1] = scratch[cur2 + 1, PAD_R:PAD_R + height,
+                               PAD_C:PAD_C + width]
     for c in range(3):
-        warp_ref[0, c] = wscratch[cur3 + c, PAD_R:PAD_R + height,
-                                  PAD_C:PAD_C + width]
+        warp_ref[0, 0, c] = wscratch[cur3 + c, PAD_R:PAD_R + height,
+                                     PAD_C:PAD_C + width]
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -212,44 +221,54 @@ def accu_to_hwc(accu):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
-def backtrace_warp_gop_cells(cell_mv, iframe_chw, height, width):
-    """Back-trace + warped I-frame in one kernel.
+def backtrace_warp_batch(cell_mv, iframes_chw, height, width):
+    """Batched back-trace + warped I-frame: one kernel launch for G GOPs.
 
     Args:
-      cell_mv: (T, ncy, ncx, 2) int32.
-      iframe_chw: (3, H, W) int32 — the GOP's I-frame, channels first.
+      cell_mv: (G, T, ncy, ncx, 2) int32.
+      iframes_chw: (G, 3, H, W) int32 — per-GOP I-frames, channels first.
 
-    Returns (accu (T, 2, H, W) int32, warped (T, 3, H, W) int32) where
-    warped[t] = iframe[accu[t]] — so the accumulated residual is
-    frames[t] - warped[t].
+    Returns (accu (G, T, 2, H, W) int32, warped (G, T, 3, H, W) int32)
+    where warped[g, t] = iframe[g][accu[g, t]] — the accumulated residual
+    is frames[g, t] - warped[g, t].
     """
-    t, ncy, ncx, _ = cell_mv.shape
+    g, t, ncy, ncx, _ = cell_mv.shape
     wp = ((width + SUPER - 1) // SUPER) * SUPER + 2 * PAD_C + SUPER
     hp = height + 2 * PAD_R
     kernel = functools.partial(_kernel_warp, height=height, width=width,
                                ncy=ncy, ncx=ncx)
     return pl.pallas_call(
         kernel,
-        grid=(t,),
+        grid=(g, t),
         in_specs=[
-            pl.BlockSpec((1, ncy, ncx, 2), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, ncy, ncx, 2),
+                         lambda gi, ti: (gi, ti, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, height, width), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((1, 3, height, width), lambda gi, ti: (gi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 2, height, width), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, 2, height, width),
+                         lambda gi, ti: (gi, ti, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, height, width), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, 3, height, width),
+                         lambda gi, ti: (gi, ti, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t, 2, height, width), jnp.int32),
-            jax.ShapeDtypeStruct((t, 3, height, width), jnp.int32),
+            jax.ShapeDtypeStruct((g, t, 2, height, width), jnp.int32),
+            jax.ShapeDtypeStruct((g, t, 3, height, width), jnp.int32),
         ),
         scratch_shapes=[pltpu.VMEM((4, hp, wp), jnp.int32),
                         pltpu.VMEM((6, hp, wp), jnp.int32)],
-    )(cell_mv, iframe_chw[None])
+    )(cell_mv, iframes_chw)
+
+
+def backtrace_warp_gop_cells(cell_mv, iframe_chw, height, width):
+    """Single-GOP convenience wrapper over `backtrace_warp_batch`."""
+    accu, warped = backtrace_warp_batch(cell_mv[None], iframe_chw[None],
+                                        height, width)
+    return accu[0], warped[0]
 
 
 def backtrace_gop_pallas(mv_maps):
