@@ -56,12 +56,15 @@ def test_flagship_memorizes_synthetic_corpus(tmp_path):
                            lr_mse_w=1.0)
 
     key = jax.random.key(1)
-    top1 = 0.0
-    for i in range(60):
+    recent = []
+    for i in range(140):
         batch = augment_train_batch(asm.train_batch(range(NCLS)), "mv",
                                     input_size=64)
         key, sk = jax.random.split(key)
         state, metrics = step(state, batch, sk, jnp.float32(3e-4),
                               jnp.float32(0.0), jnp.asarray(True))
-        top1 = float(metrics["top1"])
-    assert top1 >= 99.0, f"did not memorize: top1={top1}"
+        recent.append(float(metrics["top1"]))
+        if len(recent) >= 10 and np.mean(recent[-10:]) >= 99.0:
+            break
+    assert np.mean(recent[-10:]) >= 99.0, \
+        f"did not memorize: last-10 top1={np.mean(recent[-10:]):.1f}"
