@@ -167,7 +167,8 @@ def main(argv=None, gan=False, input_size=224):
                                 workers=args.workers)
         meters = {k: AverageMeter() for k in
                   ("batch_time", "data_time", "loss", "loss_cls",
-                   "loss_mse", "top1", "top5")}
+                   "loss_mse", "loss_adv", "top1", "top5",
+                   "acc_D_adv", "acc_G_adv")}
         end = time.time()
         for i, raw in enumerate(loader):
             meters["data_time"].update(time.time() - end)
@@ -185,24 +186,31 @@ def main(argv=None, gan=False, input_size=224):
                     jnp.float32(args.weight_decay),
                     jnp.asarray(not freeze))
             bsz = batch["label"].shape[0]
-            for k in ("loss", "loss_cls", "loss_mse", "top1", "top5"):
+            for k in ("loss", "loss_cls", "loss_mse", "loss_adv",
+                      "top1", "top5", "acc_D_adv", "acc_G_adv"):
                 if k in metrics:
                     meters[k].update(float(metrics[k]), bsz)
             meters["batch_time"].update(time.time() - end)
             end = time.time()
             if i % PRINT_FREQ == 0:
-                print(f"Epoch: [{epoch}][{i}/{batches_per_epoch}], "
-                      f"lr_gf: {lr:.7f}\t"
-                      f"Time {meters['batch_time'].val:.3f} "
-                      f"({meters['batch_time'].avg:.3f})\t"
-                      f"Data {meters['data_time'].val:.3f} "
-                      f"({meters['data_time'].avg:.3f})\t"
-                      f"Loss {meters['loss'].val:.4f} "
-                      f"({meters['loss'].avg:.4f})\t"
-                      f"Prec@1 {meters['top1'].val:.3f} "
-                      f"({meters['top1'].avg:.3f})\t"
-                      f"Prec@5 {meters['top5'].val:.3f} "
-                      f"({meters['top5'].avg:.3f})")
+                line = (f"Epoch: [{epoch}][{i}/{batches_per_epoch}], "
+                        f"lr_gf: {lr:.7f}\t"
+                        f"Time {meters['batch_time'].val:.3f} "
+                        f"({meters['batch_time'].avg:.3f})\t"
+                        f"Data {meters['data_time'].val:.3f} "
+                        f"({meters['data_time'].avg:.3f})\t"
+                        f"Loss {meters['loss'].val:.4f} "
+                        f"({meters['loss'].avg:.4f})\t"
+                        f"Prec@1 {meters['top1'].val:.3f} "
+                        f"({meters['top1'].avg:.3f})\t"
+                        f"Prec@5 {meters['top5'].val:.3f} "
+                        f"({meters['top5'].avg:.3f})")
+                if gan:
+                    line = (("D " if i % 2 == 0 else "G ") + line
+                            + f"\tLoss_adv {meters['loss_adv'].avg:.4f}"
+                            f"\tacc_D_adv {meters['acc_D_adv'].avg:.3f}"
+                            f"\tacc_G_adv {meters['acc_G_adv'].avg:.3f}")
+                print(line)
 
         if epoch % args.eval_freq == 0 or epoch == args.epochs - 1:
             prec1 = validate(val_ds, val_asm, eval_step, state, args,
