@@ -201,11 +201,15 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                                   args.iter_size, args.batch_size)
             rng, srng = jax.random.split(rng)
             stage1 = epoch + 1 <= args.epoch_thre
-            lr = (sched1 if stage1 else sched2).update()
-            if stage1:
-                sched2.update()
+            # The reference advances its per-iteration schedulers once per
+            # microbatch (train/model.py:371-379); one macro step here
+            # consumes iter_size microbatches.
+            for _ in range(args.iter_size):
+                lr = (sched1 if stage1 else sched2).update()
+                if stage1:
+                    sched2.update()
+                lr_d = sched3.update()
             lr1 = 0.0 if (args.detach and stage1) else lr
-            lr_d = sched3.update()
             use_d = args.adv > 0 and i_batch % 2 == 0
             fn = d_step if use_d else g_step
             state, metrics = fn(state, batch, srng, jnp.float32(lr),
