@@ -197,8 +197,8 @@ class I3DBatchAssembler:
                 if self.rgb_aug:
                     # RandomScale(slen 224..288, aspect 0.8..1.25) expressed
                     # as a larger/smaller source crop resized to input_size.
-                    slen = self.rng.uniform(cs, min(cs * 288 / 224,
-                                                    min(h, w)))
+                    hi = max(float(cs), min(cs * 288 / 224, min(h, w)))
+                    slen = self.rng.uniform(cs, hi)
                     aspect = self.rng.uniform(0.8, 1.25)
                     crop_h = int(min(h, slen))
                     crop_w = int(min(w, slen * aspect))
