@@ -35,6 +35,21 @@ def test_packed_matches_unpacked(rng, s):
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_quantized_packed_close_to_f32(rng):
+    from dmcnet_tpu.ops.packed_generator import QuantizedPackedEstimator
+
+    model = make_estimator("DenseNetTiny")
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 5)), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    ref = np.asarray(model.apply(variables, x))
+
+    q = QuantizedPackedEstimator(variables["params"], calib_x=x, s=2)
+    got = np.asarray(q(x))
+    # int8 quantization noise must stay small relative to the signal.
+    rel = np.abs(got - ref).mean() / (np.abs(ref).mean() + 1e-8)
+    assert rel < 0.05, rel
+
+
 def test_packed_small_family(rng):
     model = make_estimator("DenseNetSmall")
     x = jnp.asarray(rng.normal(size=(1, 16, 16, 5)), jnp.float32)
