@@ -61,12 +61,39 @@ def main(batch=256, steps=30, warmup=5, hw=224):
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * steps / dt
-    print(json.dumps({
+    headline = {
         "metric": "clips_per_sec_chip",
         "value": round(clips_per_sec, 1),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / 5000.0, 3),
-    }))
+    }
+
+    # Extended artifact (bench_extended.json): the full on-device pipeline
+    # (incl. the Pallas back-trace kernel) and the flagship TRAIN step, so
+    # every round keeps a TPU-smoked record beyond the serving headline.
+    extended = {"headline": headline}
+    for name, fn in (("pipeline", _measure_pipeline),
+                     ("train_step", _measure_train)):
+        try:
+            extended[name] = fn()
+        except Exception as exc:  # keep the headline robust
+            extended[name] = {"error": repr(exc)[:200]}
+    with open("bench_extended.json", "w") as f:
+        json.dump(extended, f, indent=1)
+
+    print(json.dumps(headline))
+
+
+def _measure_pipeline():
+    import bench_pipeline
+
+    return bench_pipeline.measure()
+
+
+def _measure_train():
+    import bench_train
+
+    return bench_train.measure()
 
 
 if __name__ == "__main__":

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(n_gops=8, gop_len=12, height=256, width=320, crop=224):
+def measure(n_gops=8, gop_len=12, height=256, width=320, crop=224):
     from dmcnet_tpu.codec.synthetic import dense_mv_maps, synthetic_gop
     from dmcnet_tpu.models import make_estimator, resnet18
     from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator
@@ -97,13 +97,17 @@ def main(n_gops=8, gop_len=12, height=256, width=320, crop=224):
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
     clips = n_gops * (gop_len - 1) * steps
-    print(json.dumps({
+    return {
         "metric": "pipeline_clips_per_sec_chip",
         "value": round(clips / dt, 1),
         "unit": "clips/s",
         "note": "codec backtrace + residual + normalize + crop + DMC + "
                 "ResNet-18, fully on device",
-    }))
+    }
+
+
+def main():
+    print(json.dumps(measure()))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,66 @@
+"""Flagship TRAIN-step throughput (informational + captured in
+bench_extended.json by bench.py).
+
+Measures the real jitted two-optimizer dmcnet train step (DenseNetTiny DMC
+generator + ResNet-18 TSN, CE+MSE, GroupAdam pair, BN updates) in steady
+state on one chip with batches resident in HBM — the reference's
+SpeedMonitor samples/sec equivalent (train/callback.py:50-68).  Host decode
+overlap is excluded by construction (measured separately by the data
+pipeline; this VM has one CPU core, so host-side numbers here would not be
+representative of a production host).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(batch=32, segments=3, hw=224, steps=20, warmup=3):
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.train.engine import create_train_state, make_train_step
+
+    model = DMCNet(num_class=51, num_segments=segments,
+                   representation="mv", arch="resnet18",
+                   arch_estimator="DenseNetTiny", gen_flow_or_delta=1)
+    rng = np.random.default_rng(0)
+    batch_d = {
+        "mv": jnp.asarray(rng.normal(size=(batch, segments, hw, hw, 2)),
+                          jnp.float32),
+        "residual": jnp.asarray(
+            rng.normal(size=(batch, segments, hw, hw, 3)), jnp.float32),
+        "flow": jnp.asarray(rng.normal(size=(batch, segments, hw, hw, 2)),
+                            jnp.float32),
+        "label": jnp.asarray(np.arange(batch) % 51, jnp.int32),
+    }
+    state, opts = create_train_state(model, jax.random.key(0), batch_d,
+                                     lr_cls_mult=0.01, lr_mse_mult=0.01)
+    step = make_train_step(model, opts, num_segments=segments,
+                           lr_cls_w=1.0, lr_mse_w=1.0)
+    args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-4),
+            jnp.asarray(True))
+
+    state, m = step(state, batch_d, *args)
+    jax.block_until_ready(m)
+    for _ in range(warmup):
+        state, m = step(state, batch_d, *args)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, batch_d, *args)
+    jax.block_until_ready(m)
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "train_samples_per_sec_chip",
+        "value": round(batch * steps / dt, 1),
+        "unit": "samples/s",
+        "note": f"dmcnet flagship train step, batch {batch} x {segments} "
+                f"segments @ {hw}^2, two GroupAdam optimizers + BN updates",
+        "steps_per_sec": round(steps / dt, 2),
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure()))

@@ -84,6 +84,18 @@ def main(argv=None, gan=False, input_size=224):
     for k, v in sorted(vars(args).items()):
         print(f"\t{k}: {v}")
 
+    # Multi-host: one jitted program spans all hosts' devices; each host
+    # feeds its local shard (replaces the reference's vestigial DDP path,
+    # train_model.py:117-118).  No-op single-process.
+    from dmcnet_tpu.parallel.multihost import (
+        global_batch_from_local,
+        initialize_distributed,
+        local_shard_indices,
+    )
+    initialize_distributed(args.dist_coordinator, args.dist_num_processes,
+                           args.dist_process_id)
+    multi_host = jax.process_count() > 1
+
     num_class = num_classes_for(args.data_name)
     model = build_model(args, num_class, gan)
     train_ds, val_ds = make_datasets(args)
@@ -130,7 +142,12 @@ def main(argv=None, gan=False, input_size=224):
         mesh = make_mesh()
         state = replicate_state(state, mesh)
         wrap = lambda fn: make_sharded_train_step(fn, mesh)
-        place = lambda b: shard_batch(b, mesh)
+        if multi_host:
+            # each host contributes batch_size/process_count samples
+            place = lambda b: global_batch_from_local(
+                jax.tree.map(np.asarray, b), mesh)
+        else:
+            place = lambda b: shard_batch(b, mesh)
     else:
         wrap = jax.jit
         place = lambda b: b
@@ -160,8 +177,14 @@ def main(argv=None, gan=False, input_size=224):
         print(f"current epoch freeze?: {freeze}")
 
         def make_batch(i):
-            return train_asm.train_batch(
-                range(i * args.batch_size, (i + 1) * args.batch_size))
+            start = i * args.batch_size
+            if multi_host:
+                # this host assembles only its shard of the global batch
+                idx = [start + j
+                       for j in local_shard_indices(args.batch_size)]
+            else:
+                idx = range(start, start + args.batch_size)
+            return train_asm.train_batch(idx)
 
         loader = PrefetchLoader(make_batch, batches_per_epoch,
                                 workers=args.workers)
@@ -169,6 +192,7 @@ def main(argv=None, gan=False, input_size=224):
                   ("batch_time", "data_time", "loss", "loss_cls",
                    "loss_mse", "loss_adv", "top1", "top5",
                    "acc_D_adv", "acc_G_adv")}
+        pending = []
         end = time.time()
         for i, raw in enumerate(loader):
             meters["data_time"].update(time.time() - end)
@@ -186,13 +210,20 @@ def main(argv=None, gan=False, input_size=224):
                     jnp.float32(args.weight_decay),
                     jnp.asarray(not freeze))
             bsz = batch["label"].shape[0]
-            for k in ("loss", "loss_cls", "loss_mse", "loss_adv",
-                      "top1", "top5", "acc_D_adv", "acc_G_adv"):
-                if k in metrics:
-                    meters[k].update(float(metrics[k]), bsz)
+            # Defer metric materialization: float(metrics[...]) would force
+            # a device sync every step and serialize host batch assembly
+            # against device compute.  Values are flushed (exactly) at print
+            # time, keeping the dispatch pipeline full in between.
+            pending.append((metrics, bsz))
             meters["batch_time"].update(time.time() - end)
             end = time.time()
             if i % PRINT_FREQ == 0:
+                for m_i, b_i in pending:
+                    for k in ("loss", "loss_cls", "loss_mse", "loss_adv",
+                              "top1", "top5", "acc_D_adv", "acc_G_adv"):
+                        if k in m_i:
+                            meters[k].update(float(m_i[k]), b_i)
+                pending.clear()
                 line = (f"Epoch: [{epoch}][{i}/{batches_per_epoch}], "
                         f"lr_gf: {lr:.7f}\t"
                         f"Time {meters['batch_time'].val:.3f} "
@@ -227,16 +258,23 @@ def main(argv=None, gan=False, input_size=224):
 
 
 def validate(val_ds, val_asm, eval_step, state, args, aug_kwargs):
+    """Reference validate() (train.py:292-369); the ragged final batch is
+    padded to the fixed batch size with a 0/1 weight mask (one XLA compile
+    total, exact masked means)."""
     top1 = AverageMeter()
     losses = AverageMeter()
     n = len(val_ds)
     bs = args.batch_size
     for start in range(0, n, bs):
-        idx = range(start, min(start + bs, n))
+        idx = list(range(start, min(start + bs, n)))
+        n_valid = len(idx)
+        idx += [idx[-1]] * (bs - n_valid)
         batch = augment_eval_batch(val_asm.eval_batch(idx), **aug_kwargs)
+        batch["weight"] = jnp.asarray(
+            (np.arange(bs) < n_valid).astype(np.float32))
         m = eval_step(state, batch)
-        top1.update(float(m["top1"]), len(idx))
-        losses.update(float(m["loss"]), len(idx))
+        top1.update(float(m["top1"]), n_valid)
+        losses.update(float(m["loss"]), n_valid)
     print(f"Testing Results: Prec@1 {top1.avg:.3f} Loss {losses.avg:.5f}")
     return top1.avg
 

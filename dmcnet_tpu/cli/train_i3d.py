@@ -25,6 +25,12 @@ import numpy as np
 from dmcnet_tpu.data.iterator_factory import creat, dataset_num_classes
 from dmcnet_tpu.data.video_iter import I3DBatchAssembler, i3d_augment_batch
 from dmcnet_tpu.models.i3d import get_symbol, init_i3d_variables
+from dmcnet_tpu.parallel import (
+    make_mesh,
+    make_sharded_train_step,
+    replicate_state,
+    shard_batch,
+)
 from dmcnet_tpu.train.checkpoints import load_checkpoint, save_checkpoint
 from dmcnet_tpu.train.engine import TrainState
 from dmcnet_tpu.train.engine_i3d import (
@@ -61,6 +67,10 @@ def build_parser(dataset_default="HMDB51"):
     p.add_argument('--pretrained_2d', type=bool, default=False)
     p.add_argument('--pretrained_3d', type=str, default=None)
     p.add_argument('--new_classifier', type=bool, default=False)
+    p.add_argument('--new-classifier-weights', type=str,
+                   default='./network/pretrained/model_flow.pth',
+                   help="classifier re-init source (the reference hardcodes "
+                        "this path, train_model.py:193)")
     p.add_argument('--resume-epoch', type=int, default=-1)
     p.add_argument('--modality', type=str, default='rgb',
                    choices=['rgb', 'flow', 'mv', 'res', 'flow+mp4', 'I'])
@@ -87,6 +97,12 @@ def build_parser(dataset_default="HMDB51"):
                    help="dataset dir containing raw/list_cvt lists")
     p.add_argument('--video-prefix', type=str, required=False)
     p.add_argument('--flow-prefix', type=str, default=None)
+    p.add_argument('--remat', type=int, default=0,
+                   help="rematerialize Mixed blocks (activation ckpt; the "
+                        "reference imports checkpoint_sequential unused, "
+                        "i3d.py:19)")
+    p.add_argument('--ckpt-backend', type=str, default='msgpack',
+                   choices=['msgpack', 'orbax'])
     return p
 
 
@@ -101,6 +117,42 @@ def autofill(args):
     return args
 
 
+def init_pretrained(args, params, bstats):
+    """Pretrained init (skipped when resuming — reference
+    train_model.py:181-206): a .npz holds an exported Kinetics TF
+    checkpoint (load_tf_weights, i3d.py:605-763); --pretrained_2d flags a
+    2D torch checkpoint needing temporal inflation (initializer.py:62-143);
+    otherwise a reference 3D .pth.  --new_classifier then overlays
+    model_flow.pth non-strict (train_model.py:193-200)."""
+    if args.resume_epoch >= 0 or not args.pretrained_3d \
+            or not os.path.exists(args.pretrained_3d):
+        return params, bstats
+    in_ch = 2 if args.modality in ("flow", "mv", "flow+mp4") else 3
+    if args.pretrained_3d.endswith(".npz"):
+        from dmcnet_tpu.models.import_tf_i3d import load_tf_weights
+        params, bstats, report = load_tf_weights(
+            args.pretrained_3d, params, bstats,
+            modality=("rgb" if args.modality == "rgb" else "flow"),
+            in_channels=in_ch)
+    elif args.pretrained_2d:
+        from dmcnet_tpu.models.import_torch_i3d import load_i3d_pth_2d
+        params, bstats, report = load_i3d_pth_2d(
+            args.pretrained_3d, params, bstats, modality=args.modality,
+            rng=args.random_seed)
+    else:
+        from dmcnet_tpu.models.import_torch_i3d import load_i3d_pth
+        params, bstats, report = load_i3d_pth(
+            args.pretrained_3d, params, bstats, modality=args.modality)
+    print(f"pretrained_3d: {report}")
+    if args.new_classifier and os.path.exists(args.new_classifier_weights):
+        from dmcnet_tpu.models.import_torch_i3d import load_i3d_pth
+        params, bstats, report = load_i3d_pth(
+            args.new_classifier_weights, params, bstats,
+            modality=args.modality)
+        print(f"new_classifier: {report}")
+    return params, bstats
+
+
 def main(argv=None, dataset_default="HMDB51", input_size=224):
     args = autofill(build_parser(dataset_default).parse_args(argv))
     np.random.seed(args.random_seed)
@@ -108,7 +160,18 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     net, input_conf = get_symbol(
         args.network, modality=args.modality, num_classes=num_classes,
         arch_estimator=args.arch_estimator, arch_d=args.arch_d,
-        dropout_prob=args.drop_out)
+        dropout_prob=args.drop_out, remat=bool(args.remat))
+
+    # Data-parallel mesh: the TPU-native DataParallel
+    # (reference train_model.py:117-120).  Use the largest device count that
+    # divides the global batch so shards stay equal.
+    n_dev = len(jax.devices())
+    while args.batch_size % n_dev:
+        n_dev -= 1
+    mesh = make_mesh(jax.devices()[:n_dev])
+    if n_dev > 1:
+        print(f"data-parallel over {n_dev} devices "
+              f"(batch {args.batch_size} -> {args.batch_size // n_dev}/chip)")
 
     train_ds, val_ds = creat(
         args.dataset, args.data_root, args.video_prefix, args.flow_prefix,
@@ -138,11 +201,7 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     variables = init_i3d_variables(net, jax.random.key(0), x0)
     params, bstats = variables["params"], variables.get("batch_stats", {})
 
-    if args.pretrained_3d and os.path.exists(args.pretrained_3d):
-        from dmcnet_tpu.models.import_torch_i3d import load_i3d_pth
-        params, bstats, report = load_i3d_pth(
-            args.pretrained_3d, params, bstats, modality=args.modality)
-        print(f"pretrained_3d: {report}")
+    params, bstats = init_pretrained(args, params, bstats)
 
     def fresh_state(params, bstats, stage2):
         opts = make_i3d_optimizers(
@@ -155,19 +214,30 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             opt_cls=opts["cls"].init(params),
             opt_gf=opts["gf"].init(params),
             opt_d=opts["d"].init(params) if args.adv > 0 else None)
-        d_step, g_step = make_i3d_steps(net, opts, adv=args.adv)
-        return state, d_step, g_step
+        # Raw (unjitted) steps wrapped with explicit mesh shardings: batch
+        # sharded on B (axis 1 of the stacked (iter_size, B, ...) layout),
+        # state replicated; XLA inserts the gradient all-reduce over ICI.
+        d_step, g_step = make_i3d_steps(net, opts, adv=args.adv, jit=False)
+        d_step = make_sharded_train_step(d_step, mesh, batch_axis=1)
+        g_step = make_sharded_train_step(g_step, mesh, batch_axis=1)
+        return replicate_state(state, mesh), d_step, g_step
 
     state, d_step, g_step = fresh_state(params, bstats, stage2=False)
     if args.resume_epoch >= 0:
         ckpt = f"{args.model_prefix}_ep-{args.resume_epoch:04d}.pth"
-        state, meta = load_checkpoint(state, ckpt)
+        if args.ckpt_backend == "orbax":
+            from dmcnet_tpu.train.checkpoints import load_checkpoint_orbax
+            state, meta = load_checkpoint_orbax(state, ckpt + ".orbax")
+        else:
+            state, meta = load_checkpoint(state, ckpt)
+        state = replicate_state(state, mesh)
         print(f"resumed from {ckpt} (epoch {meta.get('epoch')})")
     eval_step = make_i3d_eval_step(net)
 
     # lr steps divided by effective samples per iteration
-    # (train_model.py:217-222); world_size = number of devices here.
-    world = jax.device_count()
+    # (train_model.py:217-222); args.batch_size is the global batch fed per
+    # scheduler tick, world_size = participating processes (1 single-host).
+    world = jax.process_count()
     step_div = max(1, int(args.batch_size * world))
     sched_steps = sorted({max(1, int(s // step_div)) for s in args.lr_steps})
     sched1 = MultiFactorScheduler(sched_steps, args.lr_base, args.lr_factor)
@@ -199,6 +269,7 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             batch = stacked_batch(train_asm, train_ds,
                                   i_batch * args.batch_size * args.iter_size,
                                   args.iter_size, args.batch_size)
+            batch = shard_batch(batch, mesh, batch_axis=1)
             rng, srng = jax.random.split(rng)
             stage1 = epoch + 1 <= args.epoch_thre
             # The reference advances its per-iteration schedulers once per
@@ -227,18 +298,26 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                       f"loss-ce {meters['loss_cls'].avg:.5f}  "
                       f"top-1 {meters['top1'].avg:.5f}")
 
-        # per-epoch eval with score accumulation (model.py:531-577)
+        # per-epoch eval with score accumulation (model.py:531-577).  The
+        # ragged final batch is padded to the fixed batch size (one XLA
+        # compile total; padded rows masked out host-side).
         scores, labels = [], []
         top1_m = AverageMeter()
         for start in range(0, len(val_ds), args.batch_size):
             idx = list(range(start, min(start + args.batch_size,
                                         len(val_ds))))
+            n_valid = len(idx)
+            idx += [idx[-1]] * (args.batch_size - n_valid)
             b = i3d_augment_batch(val_asm.batch(idx), **aug)
+            b = shard_batch(b, mesh)
             m = eval_step(state, b)
-            scores.append(np.asarray(
-                jax.nn.softmax(m["logits"], axis=-1)))
-            labels.append(np.asarray(b["label"]))
-            top1_m.update(float(m["top1"]), len(idx))
+            sc = np.asarray(
+                jax.nn.softmax(m["logits"], axis=-1))[:n_valid]
+            lab = np.asarray(b["label"])[:n_valid]
+            scores.append(sc)
+            labels.append(lab)
+            top1_m.update(
+                100.0 * float((sc.argmax(-1) == lab).mean()), n_valid)
         top1 = top1_m.avg
         print(f"Epoch[{epoch}] eval top-1: {top1:.3f} "
               f"({time.time() - t_epoch:.1f}s)")
@@ -248,9 +327,13 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                      scores=np.concatenate(scores),
                      labels=np.concatenate(labels), top1=top1)
         if epoch % max(int(args.save_frequency), 1) == 0:
-            save_checkpoint(
-                state, {"epoch": epoch, "top1": top1},
-                f"{args.model_prefix}_ep-{epoch:04d}.pth")
+            ckpt = f"{args.model_prefix}_ep-{epoch:04d}.pth"
+            if args.ckpt_backend == "orbax":
+                from dmcnet_tpu.train.checkpoints import save_checkpoint_orbax
+                save_checkpoint_orbax(state, {"epoch": epoch, "top1": top1},
+                                      ckpt + ".orbax")
+            else:
+                save_checkpoint(state, {"epoch": epoch, "top1": top1}, ckpt)
     return best_top1
 
 

@@ -103,6 +103,14 @@ def build_parser(gan=False):
     parser.add_argument('--gpus', nargs='+', type=int, default=None,
                         help='device ids (accepted for script parity; the '
                              'mesh uses all visible devices).')
+    # Multi-host (replaces the reference's vestigial DDP path,
+    # dmcnet_I3D/train_model.py:117-118): when set, each process feeds its
+    # local shard of the global --batch-size.
+    parser.add_argument('--dist-coordinator', type=str, default=None,
+                        help='jax.distributed coordinator address '
+                             '(host:port); unset = single-process.')
+    parser.add_argument('--dist-num-processes', type=int, default=None)
+    parser.add_argument('--dist-process-id', type=int, default=None)
     return parser
 
 

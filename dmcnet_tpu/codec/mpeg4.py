@@ -67,6 +67,11 @@ def _lib():
     lib.cv_encode_mpeg4.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64]
+    lib.cv_encode_mpeg4_fmt.restype = ctypes.c_int
+    lib.cv_encode_mpeg4_fmt.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+        ctypes.c_char_p]
     return lib
 
 
@@ -178,18 +183,62 @@ class VideoReader:
         self.close()
 
 
-def encode_mpeg4(path, frames_bgr, gop_size=12, bit_rate=640_000):
-    """Encode (T, H, W, 3) uint8 BGR frames to an MPEG-4 part-2 .avi file.
+class ReaderCache:
+    """Bounded LRU of open `VideoReader`s keyed by path.
+
+    The reference opens and frees the file per `load()` call
+    (coviar_data_loader.c:235,387) — O(file) work per sampled frame but zero
+    retained memory.  A `VideoReader` keeps the demuxed packets resident, so
+    caching every video of a 9.5k-video dataset would grow to multi-GB RSS;
+    this cap keeps the hot working set open and lets evicted readers free
+    their packets (via refcount — a reader still in use by another loader
+    thread stays alive until that thread drops it, so eviction is safe).
+    """
+
+    def __init__(self, max_readers=32):
+        import collections
+
+        self._lock = threading.Lock()
+        self._readers = collections.OrderedDict()
+        self._max = max_readers
+
+    def get(self, path):
+        with self._lock:
+            reader = self._readers.get(path)
+            if reader is not None:
+                self._readers.move_to_end(path)
+                return reader
+        reader = VideoReader(path)
+        with self._lock:
+            self._readers[path] = reader
+            self._readers.move_to_end(path)
+            while len(self._readers) > self._max:
+                self._readers.popitem(last=False)
+        return reader
+
+    def __len__(self):
+        return len(self._readers)
+
+    def clear(self):
+        with self._lock:
+            self._readers.clear()
+
+
+def encode_mpeg4(path, frames_bgr, gop_size=12, bit_rate=640_000,
+                 container="avi"):
+    """Encode (T, H, W, 3) uint8 BGR frames to an MPEG-4 part-2 file.
 
     Mirrors the reference dataset prep (`-c:v mpeg4 ... -b:v 640k`,
     code/dmcnet_I3D/dataset/HMDB51/scripts/convert_videos.py:55) without
     needing the ffmpeg CLI; used by tests and synthetic benchmarks.
+    `container='m4v'` writes the raw elementary stream (what the reference's
+    bitstream-parsing loader consumes).
     """
     frames_bgr = np.ascontiguousarray(frames_bgr, dtype=np.uint8)
     t, h, w, _ = frames_bgr.shape
-    rc = _lib().cv_encode_mpeg4(
+    rc = _lib().cv_encode_mpeg4_fmt(
         os.fspath(path).encode(),
         frames_bgr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        t, h, w, gop_size, bit_rate)
+        t, h, w, gop_size, bit_rate, container.encode())
     if rc != 0:
         raise IOError(f"mpeg4 encode failed with code {rc}")

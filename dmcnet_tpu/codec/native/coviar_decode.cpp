@@ -338,13 +338,18 @@ static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
 // Test-support encoder: raw BGR frames -> MPEG-4 (part 2) .avi
 // ---------------------------------------------------------------------------
 
-int cv_encode_mpeg4(const char* path, const uint8_t* frames_bgr, int num_frames,
-                    int height, int width, int gop_size, int64_t bit_rate) {
+int cv_encode_mpeg4_fmt(const char* path, const uint8_t* frames_bgr,
+                        int num_frames, int height, int width, int gop_size,
+                        int64_t bit_rate, const char* container) {
   const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
   if (!codec) return -1;
 
   AVFormatContext* fmt = nullptr;
-  if (avformat_alloc_output_context2(&fmt, nullptr, "avi", path) < 0) return -2;
+  // container "m4v" writes the raw MPEG-4 elementary stream (what the
+  // reference's bitstream-parsing loader expects, coviar_data_loader.c:235).
+  if (avformat_alloc_output_context2(
+          &fmt, nullptr, container ? container : "avi", path) < 0)
+    return -2;
   AVStream* stream = avformat_new_stream(fmt, nullptr);
 
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
@@ -411,6 +416,13 @@ int cv_encode_mpeg4(const char* path, const uint8_t* frames_bgr, int num_frames,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return rc;
+}
+
+int cv_encode_mpeg4(const char* path, const uint8_t* frames_bgr,
+                    int num_frames, int height, int width, int gop_size,
+                    int64_t bit_rate) {
+  return cv_encode_mpeg4_fmt(path, frames_bgr, num_frames, height, width,
+                             gop_size, bit_rate, nullptr);
 }
 
 // ---------------------------------------------------------------------------

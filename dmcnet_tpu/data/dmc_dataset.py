@@ -32,7 +32,7 @@ from typing import Optional
 import numpy as np
 
 from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_numpy
-from dmcnet_tpu.codec.mpeg4 import VideoReader
+from dmcnet_tpu.codec.mpeg4 import ReaderCache
 from dmcnet_tpu.data import transforms as T
 from dmcnet_tpu.data.lists import load_video_list
 from dmcnet_tpu.data.sampling import test_frame_index, train_frame_index
@@ -49,17 +49,31 @@ def _encode_u8(arr, minmax_bound=None):
 
 class GopCache:
     """Per-video accumulated-GOP cache: decode + accumulate + uint8-encode
-    once per GOP, entirely in native code (GIL-free in loader threads)."""
+    once per GOP, entirely in native code (GIL-free in loader threads).
 
-    def __init__(self, max_items=32):
-        self._items = {}
-        self._order = []
-        self._max = max_items
+    Byte-budgeted LRU: entries are evicted oldest-first once the cached
+    arrays exceed `max_bytes` (default 128 MB), so host RSS stays bounded at
+    dataset scale (the reference retains nothing — it re-decodes per call,
+    coviar_data_loader.c:235)."""
+
+    def __init__(self, max_bytes=128 << 20):
+        import collections
+
+        self._items = collections.OrderedDict()
+        self._max_bytes = max_bytes
+        self._bytes = 0
+        self._lock = threading.Lock()
+
+    @property
+    def nbytes(self):
+        return self._bytes
 
     def get(self, reader, path, gop, accumulate, minmax_bound=None):
         key = (path, gop, accumulate, minmax_bound)
-        if key in self._items:
-            return self._items[key]
+        with self._lock:
+            if key in self._items:
+                self._items.move_to_end(key)
+                return self._items[key]
         frames, mv_maps = reader.decode_gop(gop)
         try:
             from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_u8
@@ -70,10 +84,15 @@ class GopCache:
             mv_u8 = _encode_u8(mv, minmax_bound)
             res_u8 = _encode_u8(res)
         value = (frames, mv_u8, res_u8)
-        self._items[key] = value
-        self._order.append(key)
-        while len(self._order) > self._max:
-            self._items.pop(self._order.pop(0), None)
+        nbytes = frames.nbytes + mv_u8.nbytes + res_u8.nbytes
+        with self._lock:
+            if key not in self._items:
+                self._items[key] = value
+                self._bytes += nbytes
+            self._items.move_to_end(key)
+            while self._bytes > self._max_bytes and len(self._items) > 1:
+                _, (f, m, r) = self._items.popitem(last=False)
+                self._bytes -= f.nbytes + m.nbytes + r.nbytes
         return value
 
 
@@ -106,16 +125,15 @@ class CoviarDataset:
         self._draw_lock = threading.Lock()
         self.items = items if items is not None else load_video_list(
             video_list, data_root, flow_root)
-        self._readers = {}
+        self._readers = ReaderCache(max_readers=32)
         self._gops = GopCache()
+        self._failed = set()  # paths already warned about (log once)
 
     def __len__(self):
         return len(self.items)
 
     def _reader(self, path):
-        if path not in self._readers:
-            self._readers[path] = VideoReader(path)
-        return self._readers[path]
+        return self._readers.get(path)
 
     def _read_flow(self, item, frame_idx):
         """Load the (H, W, 2) uint8 precomputed flow pair (dataset.py:182-184)."""
@@ -130,17 +148,40 @@ class CoviarDataset:
         return np.stack([x, y], axis=-1)
 
     def _segment_frame(self, item, gop_index, gop_pos):
-        """Build one (H, W, 7) uint8 group frame."""
-        reader = self._reader(item.path)
-        gop_index = max(0, min(gop_index, reader.num_gops - 1))
+        """Build one (H, W, 7) uint8 group frame.
+
+        Decode failures (unreadable/corrupt video) zero-fill instead of
+        aborting the epoch, matching the reference's
+        `if mv is None: ... np.zeros(...)` tolerance
+        (code/dmcnet/dataset.py:191-193); logged once per video.
+        """
         bound = 20 if self.mv_minmaxnorm == 1 else None
-        frames, mv_u8, res_u8 = self._gops.get(
-            reader, item.path, gop_index, self.accumulate, bound)
+        try:
+            reader = self._reader(item.path)
+            gop_index = max(0, min(gop_index, reader.num_gops - 1))
+            frames, mv_u8, res_u8 = self._gops.get(
+                reader, item.path, gop_index, self.accumulate, bound)
+        except Exception as exc:
+            if item.path not in self._failed:
+                self._failed.add(item.path)
+                print(f"Error: loading video {item.path} failed "
+                      f"({exc}); zero-filling.")
+            h, w = 256, 256  # reference fallback shape (dataset.py:193)
+            frames = np.zeros((1, h, w, 3), np.uint8)
+            mv_u8 = np.full((1, h, w, 2), 128, np.uint8)
+            res_u8 = np.full((1, h, w, 3), 128, np.uint8)
+            gop_index, gop_pos = 0, 0
         gop_pos = min(gop_pos, len(frames) - 1)
 
         flow_idx = gop_index * self.gop + gop_pos + 1  # 1-based jpgs
         if item.flow_path is not None:
-            flow = self._read_flow(item, flow_idx)
+            try:
+                flow = self._read_flow(item, flow_idx)
+            except Exception:
+                if (item.path, "flow") not in self._failed:
+                    self._failed.add((item.path, "flow"))
+                    print(f"Error: loading flow {item.flow_path} failed.")
+                flow = np.full(frames.shape[1:3] + (2,), 128, np.uint8)
         else:
             flow = np.full(frames.shape[1:3] + (2,), 128, np.uint8)
 

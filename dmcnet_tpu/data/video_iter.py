@@ -28,7 +28,7 @@ import os
 import numpy as np
 
 from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_numpy
-from dmcnet_tpu.codec.mpeg4 import VideoReader
+from dmcnet_tpu.codec.mpeg4 import ReaderCache
 from dmcnet_tpu.data import transforms as T
 from dmcnet_tpu.data.dmc_dataset import GopCache
 from dmcnet_tpu.data.sampling import SequentialSampling, get_gop_pos_i3d
@@ -51,7 +51,7 @@ class VideoClipDataset:
         self.gop = gop
         self.max_retries = max_retries
         self.rng = np.random.default_rng(seed)
-        self._readers = {}
+        self._readers = ReaderCache(max_readers=32)
         self._gops = GopCache()
         self._backup_item = None
         if shuffle_list_seed is not None:
@@ -83,9 +83,7 @@ class VideoClipDataset:
         return len(self.items)
 
     def _reader(self, path):
-        if path not in self._readers:
-            self._readers[path] = VideoReader(path)
-        return self._readers[path]
+        return self._readers.get(path)
 
     def _frame(self, item, frame_idx):
         """One (H, W, C) uint8 frame in the requested modality."""

@@ -166,8 +166,13 @@ class I3D(nn.Module):
         out = max_pool_same(out, (2, 2, 2), (2, 2, 2))
         out = self.mixed_5b(out, train)
         out = self.mixed_5c(out, train)
-        # AvgPool3d((2, 7, 7), stride 1), VALID (i3d.py:549).
-        out = nn.avg_pool(out, (2, 7, 7), strides=(1, 1, 1), padding="VALID")
+        # AvgPool3d((2, 7, 7), stride 1), VALID (i3d.py:549).  The window is
+        # clipped to the actual feature shape so sub-canonical inputs (tiny
+        # dryrun/test shapes) stay legal; at the canonical 224x224 / T>=16
+        # the window is exactly (2, 7, 7).
+        win = (min(2, out.shape[1]), min(7, out.shape[2]),
+               min(7, out.shape[3]))
+        out = nn.avg_pool(out, win, strides=(1, 1, 1), padding="VALID")
         out = self.conv3d_0c_1x1(out, train)
         # squeeze spatial, mean over time (Unit3Dpy squeeze/mean, i3d.py:398-402)
         out = out.squeeze(axis=(2, 3)).mean(axis=1)
@@ -207,13 +212,13 @@ def init_i3d_variables(model, rng, sample, train=False):
 
 
 def get_symbol(name, modality="rgb", num_classes=51, arch_estimator=None,
-               arch_d=None, dropout_prob=0.0, **kwargs):
+               arch_d=None, dropout_prob=0.0, remat=False, **kwargs):
     """Factory + input config (reference network/symbol_builder.py:12-25 and
     network/config.py:10-27: I3D mean=std=[0.5]^3)."""
     if name.upper() != "I3D":
         raise ValueError(f"unknown network {name!r}")
     net = I3D(num_classes=num_classes, modality=modality,
               dropout_prob=dropout_prob, arch_estimator=arch_estimator,
-              arch_d=arch_d)
+              arch_d=arch_d, remat=remat)
     input_conf = {"mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5]}
     return net, input_conf

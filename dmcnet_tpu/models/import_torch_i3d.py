@@ -86,13 +86,22 @@ def import_i3d_state_dict(state_dict, in_channels=None):
             value.detach().cpu().numpy() if hasattr(value, "detach")
             else value)
         if kind == "conv3d":
-            w = np.transpose(value, (2, 3, 4, 1, 0))  # OIthw -> thwIO
+            if value.ndim == 4:
+                # 2D checkpoint (pretrained_2d path): OIhw -> hwIO; temporal
+                # inflation happens against the target tree in
+                # `load_i3d_pth_2d` (reference initializer.py:62-143).
+                w = np.transpose(value, (2, 3, 1, 0))
+                in_axis = 2
+            else:
+                w = np.transpose(value, (2, 3, 4, 1, 0))  # OIthw -> thwIO
+                in_axis = 3
             if (path[0] == "conv3d_1a_7x7" and in_channels
-                    and w.shape[3] != in_channels):
+                    and w.shape[in_axis] != in_channels):
                 # rgb->flow stem adaptation (train/model.py:55-58).
+                shape = list(w.shape)
+                shape[in_axis] = in_channels
                 w = np.broadcast_to(
-                    w.mean(axis=3, keepdims=True),
-                    w.shape[:3] + (in_channels,) + w.shape[4:]).copy()
+                    w.mean(axis=in_axis, keepdims=True), shape).copy()
             _set(params, path + ("kernel",), w)
         elif kind == "conv":
             _set(params, path[:-1] + (path[-1], "kernel"),
@@ -127,6 +136,33 @@ def load_i3d_pth(path, params, batch_stats, modality="flow+mp4"):
         {"params": params, "batch_stats": batch_stats}, imported,
         strict_shapes=False)
     report = f"imported={sum(1 for _ in _leaves(imported['params']))} " \
+             f"skipped={len(skipped)} shape-missed={len(missing)}"
+    return merged["params"], merged["batch_stats"], report
+
+
+def load_i3d_pth_2d(path, params, batch_stats, modality="flow+mp4",
+                    mode="inflation", rng=None):
+    """--pretrained_2d path: partial-load a 2D torch checkpoint (same module
+    names, 4D kernels) with temporal inflation against the target 3D tree
+    (reference network/initializer.py:62-143 'inflation'/'random' modes;
+    the classifier is skipped on shape mismatch like initializer.py:125-126).
+    """
+    import torch
+
+    from dmcnet_tpu.models.import_torch import merge_variables
+    from dmcnet_tpu.models.initializer import inflate_state_2d_to_3d
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    in_ch = 2 if modality in ("flow", "mv", "flow+mp4") else 3
+    imported, skipped = import_i3d_state_dict(sd, in_channels=in_ch)
+    inflated = inflate_state_2d_to_3d(imported["params"], params,
+                                      mode=mode, rng=rng)
+    merged, missing = merge_variables(
+        {"params": params, "batch_stats": batch_stats},
+        {"params": inflated, "batch_stats": imported["batch_stats"]},
+        strict_shapes=False)
+    report = f"2d-inflated={sum(1 for _ in _leaves(inflated))} " \
              f"skipped={len(skipped)} shape-missed={len(missing)}"
     return merged["params"], merged["batch_stats"], report
 

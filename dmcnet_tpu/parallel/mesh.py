@@ -25,9 +25,19 @@ def make_mesh(devices=None, axis_name="data"):
     return Mesh(np.asarray(devices), (axis_name,))
 
 
-def shard_batch(batch, mesh, axis_name="data"):
-    """Place a host batch with the leading axis split across the mesh."""
-    sharding = NamedSharding(mesh, P(axis_name))
+def _batch_spec(axis_name, batch_axis):
+    """PartitionSpec splitting `batch_axis` over the mesh axis."""
+    return P(*([None] * batch_axis + [axis_name]))
+
+
+def shard_batch(batch, mesh, axis_name="data", batch_axis=0):
+    """Place a host batch with `batch_axis` split across the mesh.
+
+    `batch_axis=1` fits the I3D engine's stacked microbatch layout
+    (iter_size, B, ...): the microbatch axis is scanned per-device while B
+    is sharded — the reference scatters B the same way via DataParallel
+    (code/dmcnet_I3D/train_model.py:117-120)."""
+    sharding = NamedSharding(mesh, _batch_spec(axis_name, batch_axis))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
@@ -37,7 +47,7 @@ def replicate_state(state, mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
-def make_sharded_train_step(step_fn, mesh, axis_name="data"):
+def make_sharded_train_step(step_fn, mesh, axis_name="data", batch_axis=0):
     """Constrain a train step to (replicated state, data-sharded batch).
 
     `step_fn(state, batch, *args) -> (state, metrics)`.  jit with explicit
@@ -45,7 +55,7 @@ def make_sharded_train_step(step_fn, mesh, axis_name="data"):
     gradients is inserted by the partitioner.
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(axis_name))
+    data = NamedSharding(mesh, _batch_spec(axis_name, batch_axis))
 
     def wrapped(state, batch, *args):
         batch = jax.lax.with_sharding_constraint(

@@ -145,27 +145,48 @@ def make_train_step(model, opts, *, num_segments, lr_cls_w, lr_mse_w,
 
 def make_eval_step(model, *, num_segments, lr_cls_w, lr_mse_w,
                    loss_mse="MSELoss"):
-    """Validation step (reference validate(), train.py:292-369)."""
+    """Validation step (reference validate(), train.py:292-369).
+
+    An optional per-sample 0/1 `batch['weight']` masks padded rows: callers
+    pad the ragged final batch to a fixed size (one XLA compile total) and
+    the returned means are exact over the valid rows only.
+    """
     rec_loss = reconstruction_loss(loss_mse)
 
     @jax.jit
     def step(state, batch):
         flow = batch["flow"].reshape((-1,) + batch["flow"].shape[-3:])
         labels = batch["label"]
+        w = batch.get("weight")
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outs = model.apply(
             variables, batch["mv"], batch["residual"], train=False)
         logits, gen_flow = outs[0], outs[1]
         consensus = segment_consensus(logits, num_segments)
-        loss_cls = cross_entropy(consensus, labels)
+        ce = optax.softmax_cross_entropy_with_integer_labels(consensus,
+                                                             labels)
         if getattr(model, "att", 0):
             # attention-weighted reconstruction (reference validate,
             # train.py:332-335)
             att_flow = outs[-1]
-            loss_rec = rec_loss(att_flow * gen_flow, att_flow * flow)
+            rec = (att_flow * gen_flow, att_flow * flow)
         else:
-            loss_rec = rec_loss(gen_flow, flow)
-        top1, top5 = topk_correct(consensus, labels, (1, 5))
+            rec = (gen_flow, flow)
+        if w is None:
+            loss_cls = jnp.mean(ce)
+            loss_rec = rec_loss(*rec)
+            top1, top5 = topk_correct(consensus, labels, (1, 5))
+        else:
+            w = w.astype(jnp.float32)
+            denom = jnp.maximum(w.sum(), 1.0)
+            loss_cls = (ce * w).sum() / denom
+            # per-sample reconstruction loss, masked; `rec` tensors carry
+            # segments on the leading axis (B * S)
+            per = jax.vmap(rec_loss)(*rec)
+            s = per.shape[0] // w.shape[0]
+            per_sample = per.reshape(w.shape[0], s).mean(axis=1)
+            loss_rec = (per_sample * w).sum() / denom
+            top1, top5 = topk_correct(consensus, labels, (1, 5), weights=w)
         return {
             "loss": loss_cls * lr_cls_w + loss_rec * lr_mse_w,
             "loss_cls": loss_cls, "loss_mse": loss_rec,
@@ -175,12 +196,18 @@ def make_eval_step(model, *, num_segments, lr_cls_w, lr_mse_w,
     return step
 
 
-def topk_correct(logits, labels, ks=(1, 5)):
-    """Fraction correct @k * 100, like reference accuracy() (train.py:411-424)."""
+def topk_correct(logits, labels, ks=(1, 5), weights=None):
+    """Fraction correct @k * 100, like reference accuracy() (train.py:411-424).
+    Optional per-sample `weights` mask padded rows out of the mean."""
     ranks = jnp.argsort(-logits, axis=-1)
     out = []
     for k in ks:
         k_eff = min(k, logits.shape[-1])
         hit = (ranks[:, :k_eff] == labels[:, None]).any(axis=-1)
-        out.append(100.0 * jnp.mean(hit.astype(jnp.float32)))
+        hit = hit.astype(jnp.float32)
+        if weights is None:
+            out.append(100.0 * jnp.mean(hit))
+        else:
+            out.append(100.0 * (hit * weights).sum()
+                       / jnp.maximum(weights.sum(), 1.0))
     return out

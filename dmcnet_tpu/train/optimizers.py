@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import optax
 
 
 def step_decay_lr(base_lr, epoch, lr_steps, lr_decay):
@@ -77,55 +76,84 @@ class GroupSGD:
         self.nesterov = nesterov
 
     def init(self, params):
-        return jax.tree.map(jnp.zeros_like, params)
+        # Momentum buffers exist only for owned leaves (lr_mult != 0):
+        # unowned leaves carry a shape-() placeholder, so an optimizer that
+        # owns one group costs only that group's HBM — like the reference's
+        # per-group torch optimizers (train.py:121-142), not full-tree state.
+        return jax.tree.map(
+            lambda p, lm: jnp.zeros_like(p) if lm != 0.0
+            else jnp.zeros((), p.dtype),
+            params, self.lr_mults)
 
     def update(self, grads, opt_state, params, lr, wd):
         m, nest = self.momentum, self.nesterov
 
-        def leaf(g, buf, p, dm):
+        def leaf(g, buf, p, dm, lm):
+            if lm == 0.0:  # static: unowned leaf, untouched
+                return buf, p
             u = g + wd * dm * p
             buf = m * buf + u
             step = (u + m * buf) if nest else buf
-            return buf, step
+            return buf, p - lr * lm * step
 
-        out = jax.tree.map(leaf, grads, opt_state, params, self.decay_mults)
-        bufs = jax.tree.map(lambda o: o[0], out,
-                            is_leaf=lambda o: isinstance(o, tuple))
-        steps = jax.tree.map(lambda o: o[1], out,
-                             is_leaf=lambda o: isinstance(o, tuple))
-        new_params = jax.tree.map(
-            lambda p, s, lm: p - lr * lm * s, params, steps, self.lr_mults)
+        out = jax.tree.map(leaf, grads, opt_state, params,
+                           self.decay_mults, self.lr_mults)
+        is_pair = lambda o: isinstance(o, tuple)
+        bufs = jax.tree.map(lambda o: o[0], out, is_leaf=is_pair)
+        new_params = jax.tree.map(lambda o: o[1], out, is_leaf=is_pair)
         return new_params, bufs
 
 
 class GroupAdam:
     """Adam(eps=1e-3) with per-leaf lr/decay multipliers, masked to a group.
 
-    `group_mask` is a per-leaf 0/1 tree selecting which params this optimizer
-    owns; leaves outside the group are never touched (their moments stay
-    zero and updates are zeroed), mirroring the reference's separate
-    per-group torch optimizers.
+    Leaves with lr_mult == 0 are unowned: they are never touched and their
+    moment slots are shape-() placeholders, so each of the reference's
+    per-group torch optimizers (train.py:121-142; I3D's five,
+    train_model.py:122-179) costs only its own group's HBM here — not
+    full-tree moments per optimizer.  Matches optax.scale_by_adam numerics
+    exactly on owned leaves (bias-corrected moments).
     """
 
     def __init__(self, params, lr_mults, decay_mults, eps=1e-3,
                  b1=0.9, b2=0.999):
         self.lr_mults = lr_mults
         self.decay_mults = decay_mults
-        self._adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+        self.eps, self.b1, self.b2 = eps, b1, b2
+
+    def _moments(self, params):
+        return jax.tree.map(
+            lambda p, lm: jnp.zeros_like(p) if lm != 0.0
+            else jnp.zeros((), p.dtype),
+            params, self.lr_mults)
 
     def init(self, params):
-        return self._adam.init(params)
+        return {"count": jnp.zeros((), jnp.int32),
+                "mu": self._moments(params), "nu": self._moments(params)}
 
     def update(self, grads, opt_state, params, lr, wd):
         """Returns (new_params, new_opt_state); lr/wd are traced scalars."""
-        u = jax.tree.map(
-            lambda g, p, dm: g + wd * dm * p,
-            grads, params, self.decay_mults)
-        u, opt_state = self._adam.update(u, opt_state)
-        new_params = jax.tree.map(
-            lambda p, upd, lm: p - lr * lm * upd,
-            params, u, self.lr_mults)
-        return new_params, opt_state
+        b1, b2, eps = self.b1, self.b2, self.eps
+        count = opt_state["count"] + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        def leaf(g, p, dm, lm, mu, nu):
+            if lm == 0.0:  # static: unowned leaf, untouched
+                return mu, nu, p
+            u = g + wd * dm * p
+            mu = b1 * mu + (1.0 - b1) * u
+            nu = b2 * nu + (1.0 - b2) * (u * u)
+            step = (mu / c1) / (jnp.sqrt(nu / c2) + eps)
+            return mu, nu, p - lr * lm * step
+
+        out = jax.tree.map(leaf, grads, params, self.decay_mults,
+                           self.lr_mults, opt_state["mu"], opt_state["nu"])
+        is_triple = lambda o: isinstance(o, tuple)
+        mu = jax.tree.map(lambda o: o[0], out, is_leaf=is_triple)
+        nu = jax.tree.map(lambda o: o[1], out, is_leaf=is_triple)
+        new_params = jax.tree.map(lambda o: o[2], out, is_leaf=is_triple)
+        return new_params, {"count": count, "mu": mu, "nu": nu}
 
     def masked_update(self, grads, opt_state, params, lr, wd, enabled):
         """Like update, but a traced bool `enabled` gates the whole step

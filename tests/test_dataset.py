@@ -80,6 +80,52 @@ def test_eval_deterministic(corpus):
     assert la == lb == 1
 
 
+def test_corrupt_video_zero_fills(corpus, tmp_path, capsys):
+    """Decode failures zero-fill instead of killing the epoch (reference
+    dataset.py:191-193), and the warning is logged once per video."""
+    bad = tmp_path / "corrupt.avi"
+    bad.write_bytes(b"\x00\x01garbage-not-mpeg4" * 64)
+    items = list(corpus) + [corpus[0].__class__(str(bad), 1, T, None)]
+    ds = CoviarDataset(None, None, None, "mv", num_segments=2,
+                       is_train=False, items=items)
+    frames, label, size = ds[len(items) - 1]
+    assert frames.shape == (2, 256, 256, 7)  # reference fallback shape
+    # mv/residual channels are the +128-encoded zeros; flow pads at 128
+    assert (frames[..., 2:] == 128).all()
+    assert label == 1
+    ds[len(items) - 1]  # second access: no duplicate log
+    out = capsys.readouterr().out
+    assert out.count("zero-filling") == 1
+
+
+def test_host_memory_bounded(tmp_path):
+    """Reader handles and decoded-GOP bytes stay bounded while streaming
+    many distinct videos (VERDICT r1 item 2: the reference frees per call,
+    coviar_data_loader.c:235,387)."""
+    from dmcnet_tpu.data.lists import VideoItem
+
+    n_vids, t, h, w = 40, 12, 64, 64
+    rng = np.random.default_rng(0)
+    items = []
+    for v in range(n_vids):
+        path = tmp_path / f"m{v}.avi"
+        frames = (rng.integers(0, 256, size=(t, h, w, 3)) // 8 * 8).astype(
+            np.uint8)
+        encode_mpeg4(path, frames, gop_size=12, bit_rate=500_000)
+        items.append(VideoItem(str(path), 0, t, None))
+    ds = CoviarDataset(None, None, None, "mv", num_segments=1,
+                       is_train=False, items=items)
+    ds._gops._max_bytes = 1 << 20  # 1 MB budget to force eviction
+    for i in range(n_vids):
+        ds[i]
+    assert len(ds._readers) <= 32
+    assert ds._gops.nbytes <= 1 << 20
+    # evicted entries re-decode correctly
+    a, _, _ = ds[0]
+    b, _, _ = ds[0]
+    np.testing.assert_array_equal(a, b)
+
+
 def test_flow_ds_factor(corpus):
     ds = CoviarDataset(None, None, None, "mv", num_segments=1, is_train=True,
                        flow_ds_factor=16, items=corpus)

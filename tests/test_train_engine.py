@@ -38,6 +38,62 @@ def setup():
     return model, batch, state, opts, step
 
 
+def test_group_adam_matches_optax_and_masks_moments():
+    """Owned leaves update exactly like optax Adam-with-L2-in-grad; unowned
+    leaves keep shape-() moment placeholders (HBM masked to the group)."""
+    import optax
+
+    from dmcnet_tpu.train.optimizers import GroupAdam
+
+    rng = np.random.default_rng(0)
+    params = {
+        "owned": {"kernel": jnp.asarray(rng.normal(size=(4, 3)),
+                                        jnp.float32)},
+        "other": {"kernel": jnp.asarray(rng.normal(size=(64, 64)),
+                                        jnp.float32)},
+    }
+    lr_mults = lr_mult_tree(params, {"owned": 0.5})
+    decay_mults = jax.tree.map(lambda _: 1.0, params)
+    opt = GroupAdam(params, lr_mults, decay_mults, eps=1e-3)
+    state = opt.init(params)
+    # unowned moments are scalar placeholders, not (64, 64) arrays
+    assert state["mu"]["other"]["kernel"].shape == ()
+    assert state["mu"]["owned"]["kernel"].shape == (4, 3)
+
+    ref = optax.scale_by_adam(eps=1e-3)
+    ref_state = ref.init(params["owned"])
+    p, lr, wd = params, jnp.float32(1e-2), jnp.float32(1e-4)
+    for _ in range(3):
+        grads = jax.tree.map(
+            lambda x: jnp.asarray(rng.normal(size=x.shape), jnp.float32), p)
+        p_new, state = opt.update(grads, state, p, lr, wd)
+        u = jax.tree.map(lambda g, q: g + wd * q,
+                         grads["owned"], p["owned"])
+        upd, ref_state = ref.update(u, ref_state)
+        ref_owned = jax.tree.map(lambda q, du: q - lr * 0.5 * du,
+                                 p["owned"], upd)
+        np.testing.assert_allclose(p_new["owned"]["kernel"],
+                                   ref_owned["kernel"], rtol=2e-6, atol=1e-7)
+        np.testing.assert_array_equal(p_new["other"]["kernel"],
+                                      p["other"]["kernel"])
+        p = p_new
+
+
+def test_group_sgd_masks_buffers():
+    from dmcnet_tpu.train.optimizers import GroupSGD
+
+    params = {"a": jnp.ones((8, 8)), "b": jnp.ones((16, 16))}
+    lr_mults = {"a": 1.0, "b": 0.0}
+    opt = GroupSGD(params, lr_mults, {"a": 1.0, "b": 1.0})
+    state = opt.init(params)
+    assert state["b"].shape == () and state["a"].shape == (8, 8)
+    grads = {"a": jnp.full((8, 8), 0.1), "b": jnp.full((16, 16), 0.1)}
+    p, state = opt.update(grads, state, params, jnp.float32(0.1),
+                          jnp.float32(0.0))
+    assert np.all(np.asarray(p["a"]) < 1.0)
+    np.testing.assert_array_equal(p["b"], params["b"])
+
+
 def test_step_decay_lr():
     assert step_decay_lr(0.01, 0, [200, 300, 400], 0.1) == 0.01
     assert np.isclose(step_decay_lr(0.01, 250, [200, 300, 400], 0.1), 0.001)
