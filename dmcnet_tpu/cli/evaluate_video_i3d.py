@@ -28,7 +28,7 @@ from dmcnet_tpu.data.video_iter import (
 from dmcnet_tpu.models.i3d import get_symbol, init_i3d_variables
 from dmcnet_tpu.train.engine import TrainState
 from dmcnet_tpu.train.engine_i3d import make_i3d_eval_step
-from dmcnet_tpu.train.checkpoints import load_checkpoint
+from dmcnet_tpu.train.checkpoints import load_checkpoint_params
 from dmcnet_tpu.train.metrics import topk_accuracy
 
 
@@ -87,7 +87,7 @@ def main(argv=None):
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_cls=None, opt_gf=None)
-    state, meta = load_checkpoint(state, args.load_weights)
+    state, meta = load_checkpoint_params(state, args.load_weights)
     eval_step = make_i3d_eval_step(net)
 
     # per-video averaged scores over num_sample rounds (reference :205-218)
@@ -98,11 +98,14 @@ def main(argv=None):
     for round_i in range(args.num_sample):
         for start in range(0, len(ds), args.batch_size):
             idx = list(range(start, min(start + args.batch_size, len(ds))))
-            b = i3d_augment_batch(asm.batch(idx), **aug)
+            n_valid = len(idx)
+            # pad the ragged final batch to a fixed shape (single compile)
+            padded = idx + [idx[-1]] * (args.batch_size - n_valid)
+            b = i3d_augment_batch(asm.batch(padded), **aug)
             m = eval_step(state, b)
-            avg_scores[idx] += np.asarray(m["logits"])
-            labels[idx] = np.asarray(b["label"])
-            done += len(idx)
+            avg_scores[idx] += np.asarray(m["logits"])[:n_valid]
+            labels[idx] = np.asarray(b["label"])[:n_valid]
+            done += n_valid
             if done % 100 == 0:
                 print(f"{done} clips, {done / (time.time() - t0):.2f} "
                       f"samples/sec")

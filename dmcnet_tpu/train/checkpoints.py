@@ -45,6 +45,21 @@ def load_checkpoint(state_template, filename):
     return state, payload["meta"]
 
 
+def load_checkpoint_params(state_template, filename):
+    """Restore only params/batch_stats from a checkpoint whose optimizer
+    states may not match the template (e.g. eval drivers build a TrainState
+    with opt_cls=None while training checkpoints carry full moments)."""
+    with open(filename, "rb") as f:
+        payload = pickle.load(f)
+    raw = serialization.msgpack_restore(payload["state"])
+    params = serialization.from_state_dict(state_template.params,
+                                           raw["params"])
+    bstats = serialization.from_state_dict(state_template.batch_stats,
+                                           raw["batch_stats"])
+    return (state_template.replace(params=params, batch_stats=bstats),
+            payload["meta"])
+
+
 def checkpoint_name(model_prefix, representation, kind="checkpoint"):
     return "_".join((model_prefix, representation.lower(),
                      kind + ".pth.tar"))

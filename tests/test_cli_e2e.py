@@ -107,5 +107,24 @@ def test_train_gan_cli(corpus, tmp_path, monkeypatch):
     ]
     best = train_cli.main(args, gan=True, input_size=64)
     assert best >= 0.0
-    import os
-    assert os.path.exists(str(tmp_path / "gan_mv_checkpoint.pth.tar"))
+    ckpt = str(tmp_path / "gan_mv_checkpoint.pth.tar")
+    assert os.path.exists(ckpt)
+
+    # GAN test driver: 10-crop oversample + adversarial G-accuracy report
+    # (reference GAN test.py:158,184-192) on the trained checkpoint.
+    from dmcnet_tpu.cli import test as test_cli
+
+    score_file = str(tmp_path / "gan_score")
+    acc = test_cli.main([
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--flow-root", corpus["flow_root"],
+        "--representation", "mv", "--arch", "resnet18",
+        "--arch_estimator", "DenseNetTiny", "--arch_d", "Discriminator4",
+        "--gen_flow_or_delta", "1",
+        "--test-list", corpus["list"], "--weights", ckpt,
+        "--test_segments", "2", "--test-crops", "10",
+        "--input_size", "64", "--save-scores", score_file])
+    assert 0.0 <= acc <= 1.0
+    with np.load(score_file + ".npz", allow_pickle=True) as data:
+        assert len(data["scores"]) == NVID
+        assert data["scores"][0][0].shape == (1, 51)
