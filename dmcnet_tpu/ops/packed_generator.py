@@ -158,9 +158,15 @@ class PackedDenseEstimator:
     """
 
     def __init__(self, params, widths=(8, 8, 6, 4, 2), ch_in=5, s=2,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, packed_output=False,
+                 fuse_mv_delta=False):
         self.s = s
         self.ch_in = ch_in
+        # packed_output=True keeps the result in the space-to-depth layout
+        # ((B, H/s, W/s, s*s*2), channel index (py*s+px)*2 + c) so a packed
+        # consumer (ops/packed_resnet.py stem) can run without the
+        # depth_to_space/space_to_depth round-trip.
+        self.packed_output = packed_output
         self.weights = []
         segments = [ch_in]
         names = [f"conv_{i}" for i in range(len(widths))] + ["predict_flow"]
@@ -168,6 +174,15 @@ class PackedDenseEstimator:
             w = np.asarray(params[name]["kernel"], np.float32)
             b = np.asarray(params[name]["bias"], np.float32)
             wp, bp = pack_conv3x3(w, b, s, segments)
+            if name == "predict_flow" and fuse_mv_delta:
+                # gen_flow_or_delta=1 (+mv, reference model.py:345-346)
+                # fused as an identity tap: predict_flow's input concat ends
+                # with the original 5-ch input whose channels 0:2 are mv.
+                for p in range(s * s):
+                    for c in range(2):
+                        wp[1, 1, _packed_index(segments, s, p, c
+                                               + sum(segments[:-1])),
+                           p * 2 + c] += 1.0
             self.weights.append((jnp.asarray(wp, dtype),
                                  jnp.asarray(bp, dtype)))
             if i < len(widths):
@@ -189,4 +204,4 @@ class PackedDenseEstimator:
                 y = jnp.where(y > 0, y, 0.1 * y)  # LeakyReLU(0.1)
                 h = jnp.concatenate([y, h], axis=-1)
             else:
-                return depth_to_space(y, s)
+                return y if self.packed_output else depth_to_space(y, s)
