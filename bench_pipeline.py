@@ -41,18 +41,18 @@ def measure(n_gops=8, gop_len=12, height=256, width=320, crop=224):
     cell_mvs = jnp.asarray(np.stack(cell_mvs))
     frames = jnp.asarray(np.stack(frames))
 
+    from dmcnet_tpu.ops.packed_resnet import PackedResNet18
+
     gen = make_estimator("DenseNetTiny")
     gen_vars = gen.init(jax.random.key(0),
                         jnp.zeros((1, crop, crop, 5), jnp.float32))
-    packed_gen = PackedDenseEstimator(gen_vars["params"], s=2)
+    packed_gen = PackedDenseEstimator(gen_vars["params"], s=2,
+                                      packed_output=True, fuse_mv_delta=True)
     cls = resnet18(num_classes=51)
     cls_vars = cls.init(jax.random.key(1),
                         jnp.zeros((1, crop, crop, 2), jnp.float32),
                         train=False)
-    cls_vars = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
-        if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x,
-        cls_vars)
+    packed_cls = PackedResNet18(cls_vars, dtype=jnp.bfloat16)
 
     mean_std = 0.2261  # (x-0.5)/mean(ImageNet std), dataset.py:260-262
     y0 = (height - crop) // 2
@@ -82,19 +82,18 @@ def measure(n_gops=8, gop_len=12, height=256, width=320, crop=224):
         n_clips = n_gops * (gop_len - 1)
         mv_c = mv_n.reshape((n_clips, crop, crop, 2))
         res_c = res_n.reshape((n_clips, crop, crop, 3))
-        dmc = packed_gen(jnp.concatenate([mv_c, res_c], -1)) + mv_c
-        return cls.apply(cls_vars, dmc, train=False)
+        # fused packed path: +mv folded into the generator weights, packed
+        # 4x4 stem + folded BN in the classifier (ops/packed_resnet.py)
+        return packed_cls(packed_gen(jnp.concatenate([mv_c, res_c], -1)))
 
-    out = pipeline(cell_mvs, frames)
-    jax.block_until_ready(out)
-    for _ in range(3):
+    for _ in range(4):
         out = pipeline(cell_mvs, frames)
-    jax.block_until_ready(out)
+    assert np.isfinite(float(out.astype(jnp.float32).sum()))  # true sync
     t0 = time.perf_counter()
     steps = 20
     for _ in range(steps):
         out = pipeline(cell_mvs, frames)
-    jax.block_until_ready(out)
+    assert np.isfinite(float(out.astype(jnp.float32).sum()))
     dt = time.perf_counter() - t0
     clips = n_gops * (gop_len - 1) * steps
     return {

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(batch=32, segments=3, hw=224, steps=20, warmup=3):
+def measure(batch=32, segments=3, hw=224, steps=50, warmup=5):
     from dmcnet_tpu.models import DMCNet
     from dmcnet_tpu.train.engine import create_train_state, make_train_step
 
@@ -42,16 +42,23 @@ def measure(batch=32, segments=3, hw=224, steps=20, warmup=3):
     args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-4),
             jnp.asarray(True))
 
-    state, m = step(state, batch_d, *args)
-    jax.block_until_ready(m)
-    for _ in range(warmup):
-        state, m = step(state, batch_d, *args)
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, m = step(state, batch_d, *args)
-    jax.block_until_ready(m)
-    dt = time.perf_counter() - t0
+    # Long windows ended by a real VALUE fetch: over the TPU tunnel,
+    # block_until_ready alone can return before the queued chain finishes,
+    # under-measuring by an order of magnitude — fetching a scalar that
+    # depends on the final state forces the true sync.
+    def window(state, n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = step(state, batch_d, *args)
+        sync = float(m["loss"]) + float(
+            jnp.sum(jax.tree.leaves(state.params)[0]))
+        assert np.isfinite(sync)
+        return time.perf_counter() - t0, state
+
+    _, state = window(state, warmup)
+    dt1, state = window(state, steps)
+    dt2, state = window(state, steps)
+    dt = min(dt1, dt2)
     return {
         "metric": "train_samples_per_sec_chip",
         "value": round(batch * steps / dt, 1),

@@ -126,7 +126,11 @@ def main(argv=None, gan=False, input_size=224):
         print(f"loaded --weights {args.weights} "
               f"(skipped {len(skipped)}, missing {len(missing)})")
     if args.resume:
-        state, meta = load_checkpoint(state, args.resume)
+        if args.ckpt_backend == "orbax":
+            from dmcnet_tpu.train.checkpoints import load_checkpoint_orbax
+            state, meta = load_checkpoint_orbax(state, args.resume)
+        else:
+            state, meta = load_checkpoint(state, args.resume)
         start_epoch = meta["epoch"]
         best_prec1 = meta.get("best_prec1", 0.0)
         print(f"=> loaded checkpoint '{args.resume}' (epoch {start_epoch})")
@@ -250,10 +254,15 @@ def main(argv=None, gan=False, input_size=224):
             best_prec1 = max(prec1, best_prec1)
             if is_best or epoch % SAVE_FREQ == 0:
                 name = checkpoint_name(args.model_prefix, args.representation)
-                save_checkpoint(
-                    state,
-                    {"epoch": epoch + 1, "arch": args.arch,
-                     "best_prec1": best_prec1}, name, is_best)
+                meta = {"epoch": epoch + 1, "arch": args.arch,
+                        "best_prec1": best_prec1}
+                if args.ckpt_backend == "orbax":
+                    from dmcnet_tpu.train.checkpoints import (
+                        save_checkpoint_orbax,
+                    )
+                    save_checkpoint_orbax(state, meta, name + ".orbax")
+                else:
+                    save_checkpoint(state, meta, name, is_best)
     return best_prec1
 
 

@@ -111,6 +111,10 @@ def build_parser(gan=False):
                              '(host:port); unset = single-process.')
     parser.add_argument('--dist-num-processes', type=int, default=None)
     parser.add_argument('--dist-process-id', type=int, default=None)
+    parser.add_argument('--ckpt-backend', type=str, default='msgpack',
+                        choices=['msgpack', 'orbax'],
+                        help='msgpack keeps the reference .pth.tar naming; '
+                             'orbax is sharding-aware for multi-host runs.')
     return parser
 
 

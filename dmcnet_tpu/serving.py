@@ -42,13 +42,25 @@ class DMCPredictor:
         self.input_size = input_size
         self.mv_minmaxnorm = mv_minmaxnorm
         self.packed = None
+        self.packed_cls = None
         if pack and arch_estimator in ("DenseNet", "DenseNetSmall",
                                        "DenseNetTiny"):
             widths = {"DenseNet": (128, 128, 96, 64, 32),
                       "DenseNetSmall": (32, 32, 24, 16, 8),
                       "DenseNetTiny": (8, 8, 6, 4, 2)}[arch_estimator]
+            full = arch == "resnet18"
             self.packed = PackedDenseEstimator(
-                params["gen_flow_model"], widths=widths)
+                params["gen_flow_model"], widths=widths,
+                packed_output=full,
+                fuse_mv_delta=full and bool(gen_flow_or_delta))
+            if arch == "resnet18":
+                # whole pipeline stays in the packed layout: 4x4 MXU-tile
+                # stem + folded inference BN (ops/packed_resnet.py)
+                from dmcnet_tpu.ops.packed_resnet import PackedResNet18
+
+                self.packed_cls = PackedResNet18(
+                    {"params": params["base_model"],
+                     "batch_stats": batch_stats["base_model"]})
         self.gen_flow_or_delta = gen_flow_or_delta
 
     @classmethod
@@ -93,6 +105,9 @@ class DMCPredictor:
             res = (res.astype(jnp.float32) / 255.0 - 0.5) \
                 / jnp.asarray(IMAGENET_STD)
             x = jnp.concatenate([mv, res], axis=-1)
+            if self.packed_cls is not None:
+                # fully packed: +mv already fused into the generator weights
+                return self.packed_cls(self.packed(x.astype(jnp.bfloat16)))
             if self.packed is not None:
                 dmc = self.packed(x.astype(jnp.bfloat16)).astype(jnp.float32)
                 dmc = dmc + mv if self.gen_flow_or_delta else dmc

@@ -74,6 +74,38 @@ def test_assembler_and_augment(items):
     assert np.allclose(f, f[0, 0], atol=1e-5)
 
 
+def test_iterator_factory_creat(tmp_path):
+    """creat() builds (train, val) from raw/list_cvt lists (reference
+    iterator_factory.py:184-202, hardcoded prefixes replaced by args)."""
+    import os
+
+    from dmcnet_tpu.data.iterator_factory import creat
+
+    os.makedirs(tmp_path / "raw" / "list_cvt")
+    os.makedirs(tmp_path / "videos" / "cls")
+    rng = np.random.default_rng(1)
+    lines = []
+    for v in range(3):
+        frames = (rng.integers(0, 256, size=(14, 64, 64, 3)) // 4
+                  * 4).astype(np.uint8)
+        encode_mpeg4(tmp_path / "videos" / "cls" / f"v{v}.mp4", frames,
+                     gop_size=12, bit_rate=500_000)
+        lines.append(f"{v} {v} cls/v{v}.mp4")
+    # one missing video: tolerated by skipping (reference retry logic)
+    lines.append("9 0 cls/missing.mp4")
+    for split in ("train", "test"):
+        (tmp_path / "raw" / "list_cvt" /
+         f"hmdb51_split1_{split}.txt").write_text("\n".join(lines) + "\n")
+
+    train, val = creat("HMDB51", str(tmp_path), str(tmp_path / "videos"),
+                       clip_length=4)
+    assert len(train) == 3 and len(val) == 3
+    clip, label = train[0]
+    assert clip.shape == (4, 64, 64, 7) and clip.dtype == np.uint8
+    clip_v, _ = val[1]
+    assert clip_v.shape == (4, 64, 64, 7)
+
+
 def test_info_cache(items, tmp_path):
     info = tmp_path / "info.json"
     ds1 = VideoClipDataset(items, RandomSampling(num=2, seed=0),
