@@ -102,7 +102,7 @@ def _measure_pipeline():
 def _measure_train():
     import bench_train
 
-    return bench_train.measure()
+    return bench_train.measure_both()
 
 
 if __name__ == "__main__":

@@ -18,13 +18,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(batch=32, segments=3, hw=224, steps=50, warmup=5):
+def measure(batch=32, segments=3, hw=224, steps=50, warmup=5, dtype=None):
     from dmcnet_tpu.models import DMCNet
     from dmcnet_tpu.train.engine import create_train_state, make_train_step
 
     model = DMCNet(num_class=51, num_segments=segments,
                    representation="mv", arch="resnet18",
-                   arch_estimator="DenseNetTiny", gen_flow_or_delta=1)
+                   arch_estimator="DenseNetTiny", gen_flow_or_delta=1,
+                   dtype=dtype)
     rng = np.random.default_rng(0)
     batch_d = {
         "mv": jnp.asarray(rng.normal(size=(batch, segments, hw, hw, 2)),
@@ -64,10 +65,18 @@ def measure(batch=32, segments=3, hw=224, steps=50, warmup=5):
         "value": round(batch * steps / dt, 1),
         "unit": "samples/s",
         "note": f"dmcnet flagship train step, batch {batch} x {segments} "
-                f"segments @ {hw}^2, two GroupAdam optimizers + BN updates",
+                f"segments @ {hw}^2, two GroupAdam optimizers + BN updates"
+                + (" (bf16 mixed precision)" if dtype is not None else ""),
         "steps_per_sec": round(steps / dt, 2),
     }
 
 
+def measure_both():
+    """f32 (reference parity) + bf16 (--bf16 mixed precision) train step."""
+    out = measure()
+    out["bf16_samples_per_sec"] = measure(dtype=jnp.bfloat16)["value"]
+    return out
+
+
 if __name__ == "__main__":
-    print(json.dumps(measure()))
+    print(json.dumps(measure_both()))

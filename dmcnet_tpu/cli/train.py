@@ -45,7 +45,9 @@ PRINT_FREQ = 20
 
 
 def build_model(args, num_class, gan):
+    dtype = jnp.bfloat16 if getattr(args, "bf16", 0) else None
     return DMCNet(
+        dtype=dtype,
         num_class=num_class,
         num_segments=args.num_segments,
         representation=args.representation,

@@ -103,6 +103,9 @@ def build_parser(dataset_default="HMDB51"):
                         "i3d.py:19)")
     p.add_argument('--ckpt-backend', type=str, default='msgpack',
                    choices=['msgpack', 'orbax'])
+    p.add_argument('--bf16', type=int, default=0,
+                   help='mixed-precision training (convs in bfloat16; '
+                        'params/BN stats/losses stay float32)')
     return p
 
 
@@ -160,7 +163,8 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     net, input_conf = get_symbol(
         args.network, modality=args.modality, num_classes=num_classes,
         arch_estimator=args.arch_estimator, arch_d=args.arch_d,
-        dropout_prob=args.drop_out, remat=bool(args.remat))
+        dropout_prob=args.drop_out, remat=bool(args.remat),
+        dtype=jnp.bfloat16 if args.bf16 else None)
 
     # Data-parallel mesh: the TPU-native DataParallel
     # (reference train_model.py:117-120).  Use the largest device count that

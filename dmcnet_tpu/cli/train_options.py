@@ -115,6 +115,11 @@ def build_parser(gan=False):
                         choices=['msgpack', 'orbax'],
                         help='msgpack keeps the reference .pth.tar naming; '
                              'orbax is sharding-aware for multi-host runs.')
+    parser.add_argument('--bf16', type=int, default=0,
+                        help='mixed-precision training: convs compute in '
+                             'bfloat16 on the MXU, params/BN stats/losses '
+                             'stay float32 (TPU-native; the reference is '
+                             'f32-only).')
     return parser
 
 

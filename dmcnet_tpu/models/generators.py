@@ -16,7 +16,7 @@ Families:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -32,11 +32,13 @@ class _DilatedStage(nn.Module):
     features: int
     dilation: int = 1
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train=True):
         x = conv3x3(self.features, dilation=self.dilation,
-                    use_bias=not self.use_bn, name="conv")(x)
+                    use_bias=not self.use_bn, dtype=self.dtype,
+                    name="conv")(x)
         if self.use_bn:
             x = batch_norm(train, name="bn")(x)
         return nn.leaky_relu(x, negative_slope=_LEAKY_SLOPE)
@@ -48,6 +50,7 @@ class ContextNetwork(nn.Module):
 
     batch_norm: bool = True
     gen_flow_ds_factor: int = 0
+    dtype: Optional[jnp.dtype] = None
 
     def _dilations(self) -> Sequence[int]:
         return (1, 2, 4, 8, 1, 1, 1) if self.gen_flow_ds_factor else (
@@ -57,8 +60,8 @@ class ContextNetwork(nn.Module):
     def __call__(self, x, train=True):
         widths = (32, 128, 128, 96, 64, 32, 2)
         for i, (w, d) in enumerate(zip(widths, self._dilations())):
-            x = _DilatedStage(w, d, self.batch_norm, name=f"stage_{i}")(
-                x, train=train)
+            x = _DilatedStage(w, d, self.batch_norm, self.dtype,
+                              name=f"stage_{i}")(x, train=train)
         return x
 
 
@@ -68,6 +71,7 @@ class ContextNetworkAtt(nn.Module):
 
     batch_norm: bool = True
     gen_flow_ds_factor: int = 0
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train=True):
@@ -75,12 +79,12 @@ class ContextNetworkAtt(nn.Module):
             1, 2, 4, 8, 16, 1)
         widths = (32, 128, 128, 96, 64, 32)
         for i, (w, d) in enumerate(zip(widths, dils)):
-            x = _DilatedStage(w, d, self.batch_norm, name=f"stage_{i}")(
-                x, train=train)
-        flow = _DilatedStage(2, 1, self.batch_norm, name="predict_flow")(
-            x, train=train)
-        att = _DilatedStage(2, 1, self.batch_norm, name="predict_att")(
-            x, train=train)
+            x = _DilatedStage(w, d, self.batch_norm, self.dtype,
+                              name=f"stage_{i}")(x, train=train)
+        flow = _DilatedStage(2, 1, self.batch_norm, self.dtype,
+                             name="predict_flow")(x, train=train)
+        att = _DilatedStage(2, 1, self.batch_norm, self.dtype,
+                            name="predict_att")(x, train=train)
         return flow, nn.relu(att)
 
 
@@ -89,15 +93,16 @@ class _DenseEstimator(nn.Module):
     previous activations and the input (reference model.py:122-194)."""
 
     widths: Sequence[int]
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train=True):
         del train  # no BN in the dense estimators
         for i, w in enumerate(self.widths):
-            y = conv3x3(w, name=f"conv_{i}")(x)
+            y = conv3x3(w, dtype=self.dtype, name=f"conv_{i}")(x)
             y = nn.leaky_relu(y, negative_slope=_LEAKY_SLOPE)
-            x = jnp.concatenate([y, x], axis=-1)
-        return conv3x3(2, name="predict_flow")(x)
+            x = jnp.concatenate([y, x.astype(y.dtype)], axis=-1)
+        return conv3x3(2, dtype=self.dtype, name="predict_flow")(x)
 
 
 class EstimatorDenseNet(_DenseEstimator):
@@ -116,23 +121,26 @@ class _EarlyFusionTiny(nn.Module):
     """Tiny estimator with separate MV/residual stems (model.py:197-250)."""
 
     fusion: str  # 'sum' | 'stack'
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train=True):
         del train
-        x_mv = nn.leaky_relu(conv3x3(8, name="conv_0_mv")(x[..., :2]),
-                             negative_slope=_LEAKY_SLOPE)
-        x_r = nn.leaky_relu(conv3x3(8, name="conv_0_r")(x[..., 2:]),
-                            negative_slope=_LEAKY_SLOPE)
+        x_mv = nn.leaky_relu(
+            conv3x3(8, dtype=self.dtype, name="conv_0_mv")(x[..., :2]),
+            negative_slope=_LEAKY_SLOPE)
+        x_r = nn.leaky_relu(
+            conv3x3(8, dtype=self.dtype, name="conv_0_r")(x[..., 2:]),
+            negative_slope=_LEAKY_SLOPE)
         if self.fusion == "sum":
             x = x_mv + x_r
         else:
             x = jnp.concatenate([x_mv, x_r], axis=-1)
         for i, w in enumerate((8, 6, 4, 2), start=1):
-            y = conv3x3(w, name=f"conv_{i}")(x)
+            y = conv3x3(w, dtype=self.dtype, name=f"conv_{i}")(x)
             y = nn.leaky_relu(y, negative_slope=_LEAKY_SLOPE)
             x = jnp.concatenate([y, x], axis=-1)
-        return conv3x3(2, name="predict_flow")(x)
+        return conv3x3(2, dtype=self.dtype, name="predict_flow")(x)
 
 
 class EstimatorDenseNetTinyEarlyFusionSum(_EarlyFusionTiny):
@@ -153,12 +161,12 @@ _ESTIMATORS = {
 }
 
 
-def make_estimator(arch_estimator, att=0, gen_flow_ds_factor=0):
+def make_estimator(arch_estimator, att=0, gen_flow_ds_factor=0, dtype=None):
     """Estimator factory matching reference name selection (model.py:311-325)."""
     if arch_estimator == "ContextNetwork":
         cls = ContextNetworkAtt if att else ContextNetwork
-        return cls(gen_flow_ds_factor=gen_flow_ds_factor)
+        return cls(gen_flow_ds_factor=gen_flow_ds_factor, dtype=dtype)
     try:
-        return _ESTIMATORS[arch_estimator]()
+        return _ESTIMATORS[arch_estimator](dtype=dtype)
     except KeyError:
         raise ValueError(f"unknown arch_estimator {arch_estimator!r}") from None

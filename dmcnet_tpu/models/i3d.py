@@ -46,12 +46,14 @@ class Unit3D(nn.Module):
     activation: Optional[str] = "relu"
     use_bias: bool = False
     use_bn: bool = True
+    dtype: Optional[jnp.dtype] = None  # bf16 = mixed-precision conv
 
     @nn.compact
     def __call__(self, x, train=True):
         x = nn.Conv(self.features, tuple(self.kernel),
                     strides=tuple(self.stride), padding="SAME",
-                    use_bias=self.use_bias, name="conv3d")(x)
+                    use_bias=self.use_bias, dtype=self.dtype,
+                    name="conv3d")(x)
         if self.use_bn:
             x = batch_norm(train, name="batch3d")(x)
         if self.activation == "relu":
@@ -69,17 +71,18 @@ class Mixed(nn.Module):
     (reference i3d.py:421-455)."""
 
     out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3]
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, train=True):
-        oc = self.out_channels
-        b0 = Unit3D(oc[0], (1, 1, 1), name="branch_0")(x, train)
-        b1 = Unit3D(oc[1], (1, 1, 1), name="branch_1a")(x, train)
-        b1 = Unit3D(oc[2], (3, 3, 3), name="branch_1b")(b1, train)
-        b2 = Unit3D(oc[3], (1, 1, 1), name="branch_2a")(x, train)
-        b2 = Unit3D(oc[4], (3, 3, 3), name="branch_2b")(b2, train)
+        oc, dt = self.out_channels, self.dtype
+        b0 = Unit3D(oc[0], (1, 1, 1), dtype=dt, name="branch_0")(x, train)
+        b1 = Unit3D(oc[1], (1, 1, 1), dtype=dt, name="branch_1a")(x, train)
+        b1 = Unit3D(oc[2], (3, 3, 3), dtype=dt, name="branch_1b")(b1, train)
+        b2 = Unit3D(oc[3], (1, 1, 1), dtype=dt, name="branch_2a")(x, train)
+        b2 = Unit3D(oc[4], (3, 3, 3), dtype=dt, name="branch_2b")(b2, train)
         b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
-        b3 = Unit3D(oc[5], (1, 1, 1), name="branch_3b")(b3, train)
+        b3 = Unit3D(oc[5], (1, 1, 1), dtype=dt, name="branch_3b")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
 
@@ -107,6 +110,8 @@ class I3D(nn.Module):
     remat: bool = False  # rematerialize Mixed blocks (activation ckpt) —
     # the TPU realization of the reference's imported-but-unused
     # checkpoint_sequential (i3d.py:19); trades FLOPs for HBM on long clips.
+    dtype: Optional[jnp.dtype] = None  # bf16 = mixed-precision convs
+    # (params/BN stats stay f32)
 
     @property
     def in_channels(self):
@@ -114,25 +119,27 @@ class I3D(nn.Module):
 
     def setup(self):
         if self.arch_estimator:
-            self.gen_flow_model = make_estimator(self.arch_estimator)
+            self.gen_flow_model = make_estimator(self.arch_estimator,
+                                                 dtype=self.dtype)
         if self.arch_d:
             self.discriminator = make_discriminator(self.arch_d)
-        self.conv3d_1a_7x7 = Unit3D(64, (7, 7, 7), (2, 2, 2))
-        self.conv3d_2b_1x1 = Unit3D(64, (1, 1, 1))
-        self.conv3d_2c_3x3 = Unit3D(192, (3, 3, 3))
+        self.conv3d_1a_7x7 = Unit3D(64, (7, 7, 7), (2, 2, 2),
+                                    dtype=self.dtype)
+        self.conv3d_2b_1x1 = Unit3D(64, (1, 1, 1), dtype=self.dtype)
+        self.conv3d_2c_3x3 = Unit3D(192, (3, 3, 3), dtype=self.dtype)
         # setup-assigned submodules take their attribute names automatically.
         # With remat, activations inside each Mixed block are recomputed in
         # the backward pass (param names unchanged).
         mixed = nn.remat(Mixed, static_argnums=(2,)) if self.remat else Mixed
-        self.mixed_3b = mixed(_MIXED_PLAN["mixed_3b"])
-        self.mixed_3c = mixed(_MIXED_PLAN["mixed_3c"])
-        self.mixed_4b = mixed(_MIXED_PLAN["mixed_4b"])
-        self.mixed_4c = mixed(_MIXED_PLAN["mixed_4c"])
-        self.mixed_4d = mixed(_MIXED_PLAN["mixed_4d"])
-        self.mixed_4e = mixed(_MIXED_PLAN["mixed_4e"])
-        self.mixed_4f = mixed(_MIXED_PLAN["mixed_4f"])
-        self.mixed_5b = mixed(_MIXED_PLAN["mixed_5b"])
-        self.mixed_5c = mixed(_MIXED_PLAN["mixed_5c"])
+        self.mixed_3b = mixed(_MIXED_PLAN["mixed_3b"], self.dtype)
+        self.mixed_3c = mixed(_MIXED_PLAN["mixed_3c"], self.dtype)
+        self.mixed_4b = mixed(_MIXED_PLAN["mixed_4b"], self.dtype)
+        self.mixed_4c = mixed(_MIXED_PLAN["mixed_4c"], self.dtype)
+        self.mixed_4d = mixed(_MIXED_PLAN["mixed_4d"], self.dtype)
+        self.mixed_4e = mixed(_MIXED_PLAN["mixed_4e"], self.dtype)
+        self.mixed_4f = mixed(_MIXED_PLAN["mixed_4f"], self.dtype)
+        self.mixed_5b = mixed(_MIXED_PLAN["mixed_5b"], self.dtype)
+        self.mixed_5c = mixed(_MIXED_PLAN["mixed_5c"], self.dtype)
         self.conv3d_0c_1x1 = Unit3D(400, (1, 1, 1), activation=None,
                                     use_bias=True, use_bn=False)
         self.dropout = nn.Dropout(self.dropout_prob)
@@ -219,6 +226,7 @@ def get_symbol(name, modality="rgb", num_classes=51, arch_estimator=None,
         raise ValueError(f"unknown network {name!r}")
     net = I3D(num_classes=num_classes, modality=modality,
               dropout_prob=dropout_prob, arch_estimator=arch_estimator,
-              arch_d=arch_d, remat=remat)
+              arch_d=arch_d, remat=remat,
+              dtype=kwargs.get("dtype"))
     input_conf = {"mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5]}
     return net, input_conf

@@ -23,17 +23,24 @@ def torch_pad(padding):
 
 
 def batch_norm(train, name=None, epsilon=BN_EPS):
+    # dtype pinned to f32: under bf16 mixed precision the conv output is
+    # upcast here so batch statistics stay full-precision.
+    import jax.numpy as jnp
+
     return nn.BatchNorm(use_running_average=not train, epsilon=epsilon,
-                        momentum=BN_MOMENTUM, name=name)
+                        momentum=BN_MOMENTUM, dtype=jnp.float32, name=name)
 
 
-def conv3x3(features, stride=1, dilation=1, use_bias=True, name=None):
+def conv3x3(features, stride=1, dilation=1, use_bias=True, name=None,
+            dtype=None):
     """3x3 conv with torch-style symmetric padding of `dilation` pixels.
 
     For stride 1 this equals SAME; for stride 2 it reproduces torch's
-    floor-mode geometry ((H + 2*p - 3) // 2 + 1).
+    floor-mode geometry ((H + 2*p - 3) // 2 + 1).  `dtype=bfloat16` selects
+    mixed precision: params stay f32, the conv computes in bf16.
     """
     return nn.Conv(
         features, (3, 3), strides=(stride, stride),
         kernel_dilation=(dilation, dilation),
-        padding=torch_pad(dilation), use_bias=use_bias, name=name)
+        padding=torch_pad(dilation), use_bias=use_bias, dtype=dtype,
+        name=name)

@@ -12,7 +12,7 @@ NHWC with fused XLA convs on the MXU.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,21 +25,23 @@ class BasicBlock(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: Optional[jnp.dtype] = None  # bf16 = mixed precision convs
 
     @nn.compact
     def __call__(self, x, train=True):
         identity = x
         y = nn.Conv(self.features, (3, 3), strides=(self.stride,) * 2,
-                    padding=torch_pad(1), use_bias=False, name="conv1")(x)
+                    padding=torch_pad(1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
         y = batch_norm(train, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=torch_pad(1),
-                    use_bias=False, name="conv2")(y)
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
         y = batch_norm(train, name="bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1),
                                strides=(self.stride,) * 2, use_bias=False,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             identity = batch_norm(train, name="downsample_bn")(identity)
         return nn.relu(y + identity)
 
@@ -55,11 +57,12 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     widths: Sequence[int] = (64, 128, 256, 512)
     in_channels: int = 3  # informational; inferred from input at init
+    dtype: Optional[jnp.dtype] = None  # bf16 = mixed precision (params f32)
 
     @nn.compact
     def __call__(self, x, train=True):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=torch_pad(3),
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = batch_norm(train, name="bn1")(x)
         x = nn.relu(x)
         # torch MaxPool2d(3, 2, padding=1), floor mode.
@@ -70,7 +73,7 @@ class ResNet(nn.Module):
                 zip(self.stage_sizes, self.widths)):
             for block in range(n_blocks):
                 stride = 2 if (stage > 0 and block == 0) else 1
-                x = BasicBlock(w, stride,
+                x = BasicBlock(w, stride, self.dtype,
                                name=f"layer{stage + 1}_{block}")(x, train)
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
         return nn.Dense(self.num_classes, name="fc")(x)

@@ -37,11 +37,11 @@ from dmcnet_tpu.models.generators import make_estimator
 from dmcnet_tpu.models.resnet import resnet18, resnet34
 
 
-def _make_backbone(arch, num_classes):
+def _make_backbone(arch, num_classes, dtype=None):
     if arch == "resnet18":
-        return resnet18(num_classes=num_classes)
+        return resnet18(num_classes=num_classes, dtype=dtype)
     if arch == "resnet34":
-        return resnet34(num_classes=num_classes)
+        return resnet34(num_classes=num_classes, dtype=dtype)
     raise ValueError(f"unsupported base model {arch!r}")
 
 
@@ -70,11 +70,15 @@ class DMCNet(nn.Module):
     arch_d: Optional[str] = None
     att: int = 0
     detach_classifier: bool = True  # False for the GAN variant
+    dtype: Optional[jnp.dtype] = None  # bf16 = mixed-precision training:
+    # params/BN stats/losses stay f32, convs compute on the MXU in bf16
 
     def setup(self):
         self.gen_flow_model = make_estimator(
-            self.arch_estimator, self.att, self.gen_flow_ds_factor)
-        self.base_model = _make_backbone(self.arch, self.num_class)
+            self.arch_estimator, self.att, self.gen_flow_ds_factor,
+            dtype=self.dtype)
+        self.base_model = _make_backbone(self.arch, self.num_class,
+                                         dtype=self.dtype)
         if self.arch_d:
             self.discriminator = make_discriminator(self.arch_d)
 

@@ -94,6 +94,39 @@ def test_group_sgd_masks_buffers():
     np.testing.assert_array_equal(p["b"], params["b"])
 
 
+def test_bf16_mixed_precision_step():
+    """--bf16: convs in bfloat16, params/BN stats stay f32, loss tracks f32
+    within bf16 tolerance."""
+    rng = np.random.default_rng(0)
+    batch = {
+        "mv": jnp.asarray(rng.normal(size=(B, S, H, W, 2)), jnp.float32),
+        "residual": jnp.asarray(rng.normal(size=(B, S, H, W, 3)),
+                                jnp.float32),
+        "flow": jnp.asarray(rng.normal(size=(B, S, H, W, 2)), jnp.float32),
+        "label": jnp.asarray([0, 3]),
+    }
+    args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-4),
+            jnp.asarray(True))
+    losses = {}
+    for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        model = DMCNet(num_class=5, num_segments=S,
+                       arch_estimator="DenseNetTiny", gen_flow_or_delta=1,
+                       dtype=dt)
+        state, opts = create_train_state(model, jax.random.key(0), batch,
+                                         lr_cls_mult=0.01, lr_mse_mult=0.01)
+        step = make_train_step(model, opts, num_segments=S, lr_cls_w=1.0,
+                               lr_mse_w=1.0)
+        for _ in range(3):
+            state, m = step(state, batch, *args)
+        losses[name] = float(m["loss"])
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree.leaves(state.params))
+        assert all(b.dtype == jnp.float32
+                   for b in jax.tree.leaves(state.batch_stats))
+    assert np.isfinite(losses["bf16"])
+    assert abs(losses["bf16"] - losses["f32"]) / losses["f32"] < 0.15
+
+
 def test_step_decay_lr():
     assert step_decay_lr(0.01, 0, [200, 300, 400], 0.1) == 0.01
     assert np.isclose(step_decay_lr(0.01, 250, [200, 300, 400], 0.1), 0.001)
