@@ -82,7 +82,8 @@ def main(batch=256, steps=40, warmup=5, hw=224, windows=3):
     # every round keeps a TPU-smoked record beyond the serving headline.
     extended = {"headline": headline}
     for name, fn in (("pipeline", _measure_pipeline),
-                     ("train_step", _measure_train)):
+                     ("train_step", _measure_train),
+                     ("e2e_serving", _measure_e2e)):
         try:
             extended[name] = fn()
         except Exception as exc:  # keep the headline robust
@@ -103,6 +104,12 @@ def _measure_train():
     import bench_train
 
     return bench_train.measure_both()
+
+
+def _measure_e2e():
+    import bench_e2e
+
+    return bench_e2e.measure()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,78 @@
+"""Honest end-to-end serving benchmark: compressed file on disk -> scores.
+
+Covers what bench.py (HBM-resident) and bench_pipeline.py (device-resident
+GOPs) deliberately exclude: the host side — native demux + entropy decode +
+GOP accumulation — feeding the packed DMC+ResNet path per GOP via
+`serving.DMCPredictor.predict_video`.
+
+NOTE: this VM has ONE CPU core, so the host entropy decode (inherently
+serial per stream, parallel across streams on real hosts) dominates here;
+the number is a floor, not the production figure.  The device portion of
+the same work is measured by bench_pipeline.py.
+"""
+
+import json
+import os
+import tempfile
+import time
+
+import numpy as np
+
+
+def _textured_frames(rng, t, h, w, shift=(2, 1)):
+    pad = max(shift) * t + 2
+    canvas = rng.integers(0, 256, size=(h + 2 * pad, w + 2 * pad, 3))
+    canvas = canvas.astype(np.float32)
+    c = (canvas[0::2, 0::2] + canvas[1::2, 0::2] + canvas[0::2, 1::2]
+         + canvas[1::2, 1::2]) / 4
+    canvas = np.kron(c, np.ones((2, 2, 1))).astype(np.uint8)
+    return np.stack([
+        canvas[pad + shift[1] * i: pad + shift[1] * i + h,
+               pad + shift[0] * i: pad + shift[0] * i + w]
+        for i in range(t)])
+
+
+def measure(n_videos=4, t=48, h=256, w=320):
+    import jax
+
+    from dmcnet_tpu.codec.mpeg4 import encode_mpeg4
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.serving import DMCPredictor
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp(prefix="bench_e2e_")
+    paths = []
+    for v in range(n_videos):
+        p = os.path.join(tmp, f"v{v}.avi")
+        encode_mpeg4(p, _textured_frames(rng, t, h, w), gop_size=12,
+                     bit_rate=2_000_000)
+        paths.append(p)
+
+    model = DMCNet(num_class=51, num_segments=1, arch="resnet18",
+                   arch_estimator="DenseNetTiny", gen_flow_or_delta=1)
+    variables = model.init(
+        jax.random.key(0), np.zeros((1, 1, 224, 224, 2), np.float32),
+        np.zeros((1, 1, 224, 224, 3), np.float32), train=False)
+    pred = DMCPredictor(variables["params"],
+                        variables.get("batch_stats", {}))
+    pred.predict_video(paths[0])  # compile + cache warm
+
+    t0 = time.perf_counter()
+    clips = 0
+    for p in paths:
+        scores = pred.predict_video(p, frames_per_gop=3)
+        assert np.isfinite(scores).all()
+        clips += (t // 12) * 3  # 3 sampled P-frames per GOP
+    dt = time.perf_counter() - t0
+    return {
+        "metric": "e2e_file_to_scores_clips_per_sec",
+        "value": round(clips / dt, 1),
+        "unit": "clips/s",
+        "note": "disk -> demux -> entropy decode -> accumulate -> packed "
+                "DMC+ResNet, ONE host core (host-bound here; device part "
+                "alone = pipeline_clips_per_sec_chip)",
+    }
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure()))

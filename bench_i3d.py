@@ -1,0 +1,83 @@
+"""I3D train-step throughput (informational; captured in
+bench_extended.json).
+
+Measures the flagship-accuracy variant's jitted G step (generator + I3D +
+MSE/CE losses, SGD group optimizers, BN updates) at the reference training
+shape (clip 16 x 224^2, flow+mp4 modality) on one chip, f32 and bf16.
+Reference equivalent: SpeedMonitor samples/sec of dmcnet_I3D
+(train/callback.py:50-68).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
+            iter_size=1):
+    from dmcnet_tpu.models.i3d import I3D, init_i3d_variables
+    from dmcnet_tpu.train.engine import TrainState
+    from dmcnet_tpu.train.engine_i3d import (
+        make_i3d_optimizers,
+        make_i3d_steps,
+    )
+
+    net = I3D(num_classes=51, modality="flow+mp4",
+              arch_estimator="DenseNetTiny", dtype=dtype)
+    rng = np.random.default_rng(0)
+    x0 = jnp.zeros((1, t, hw, hw, 5), jnp.float32)
+    variables = init_i3d_variables(net, jax.random.key(0), x0)
+    params, bstats = variables["params"], variables["batch_stats"]
+    opts = make_i3d_optimizers(params, optim="sgd")
+    state = TrainState(params=params, batch_stats=bstats,
+                       opt_cls=opts["cls"].init(params),
+                       opt_gf=opts["gf"].init(params))
+    _, g_step = make_i3d_steps(net, opts, adv=0.0)
+    bd = {
+        "mv": jnp.asarray(rng.normal(size=(iter_size, batch, t, hw, hw, 2)),
+                          jnp.float32),
+        "residual": jnp.asarray(
+            rng.normal(size=(iter_size, batch, t, hw, hw, 3)), jnp.float32),
+        "flow": jnp.asarray(
+            rng.normal(size=(iter_size, batch, t, hw, hw, 2)), jnp.float32),
+        "label": jnp.asarray(
+            (np.arange(iter_size * batch) % 51).reshape(iter_size, batch),
+            jnp.int32),
+    }
+    args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-3),
+            jnp.float32(0.0), jnp.float32(1e-4), jnp.asarray(False))
+
+    def window(state, n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = g_step(state, bd, *args)
+        sync = float(m["loss"]) + float(
+            jnp.sum(jax.tree.leaves(state.params)[0]))
+        assert np.isfinite(sync)
+        return time.perf_counter() - t0, state
+
+    _, state = window(state, warmup)
+    d1, state = window(state, steps)
+    d2, state = window(state, steps)
+    dt = min(d1, d2)
+    n_samples = batch * iter_size * steps
+    return {
+        "metric": "i3d_train_samples_per_sec_chip",
+        "value": round(n_samples / dt, 2),
+        "unit": "samples/s",
+        "note": f"I3D flow+mp4 G step, batch {batch} x clip {t} @ {hw}^2"
+                + (" (bf16)" if dtype is not None else ""),
+    }
+
+
+def measure_both():
+    out = measure()
+    out["bf16_samples_per_sec"] = measure(dtype=jnp.bfloat16)["value"]
+    return out
+
+
+if __name__ == "__main__":
+    print(json.dumps(measure_both()))

@@ -133,8 +133,12 @@ class DMCPredictor:
         return out
 
     def predict_video(self, path, frames_per_gop=3):
-        """Average logits over `frames_per_gop` sampled P-frames per GOP."""
-        scores = []
+        """Average logits over `frames_per_gop` sampled P-frames per GOP.
+
+        All sampled frames of the video go to the device as ONE batch — one
+        dispatch per video instead of one per GOP, which matters when the
+        device sits behind an RPC boundary."""
+        mvs, ress = [], []
         with VideoReader(path) as reader:
             for g in range(reader.num_gops):
                 frames, mv_maps = reader.decode_gop(g)
@@ -146,10 +150,19 @@ class DMCPredictor:
                 pick = np.linspace(1, len(frames) - 1,
                                    min(frames_per_gop, len(frames) - 1))
                 pick = np.unique(np.round(pick).astype(int))
-                logits = self._classify(
-                    jnp.asarray(self._center_crop(mv[pick])),
-                    jnp.asarray(self._center_crop(res[pick])))
-                scores.append(np.asarray(logits))
-        if not scores:
+                mvs.append(self._center_crop(mv[pick]))
+                ress.append(self._center_crop(res[pick]))
+        if not mvs:
             raise ValueError(f"no usable GOPs in {path}")
-        return np.concatenate(scores).mean(axis=0)
+        mv = np.concatenate(mvs)
+        res = np.concatenate(ress)
+        n = len(mv)
+        # bucket to multiples of 16 clips so videos of similar length share
+        # one compiled executable (padded rows dropped host-side)
+        padded = -(-n // 16) * 16
+        if padded != n:
+            reps = [1] * (n - 1) + [padded - n + 1]
+            mv = np.repeat(mv, reps, axis=0)
+            res = np.repeat(res, reps, axis=0)
+        logits = self._classify(jnp.asarray(mv), jnp.asarray(res))
+        return np.asarray(logits)[:n].mean(axis=0)
