@@ -54,6 +54,10 @@ def build_parser():
     p.add_argument('--video-prefix', type=str, required=True)
     p.add_argument('--flow-prefix', type=str, default=None)
     p.add_argument('--input-size', type=int, default=224)
+    p.add_argument('--shard-time', type=int, default=0,
+                   help='shard the clip T axis over all devices (sequence '
+                        'parallelism for long clips; XLA inserts the halo '
+                        'exchanges — parallel/temporal.py)')
     return p
 
 
@@ -88,7 +92,29 @@ def main(argv=None):
                        batch_stats=variables.get("batch_stats", {}),
                        opt_cls=None, opt_gf=None)
     state, meta = load_checkpoint_params(state, args.load_weights)
-    eval_step = make_i3d_eval_step(net)
+    if args.shard_time:
+        from dmcnet_tpu.parallel import make_time_mesh, place_time_sharded
+        from dmcnet_tpu.parallel.temporal import make_time_sharded_apply
+        from dmcnet_tpu.train.engine import topk_correct
+
+        mesh = make_time_mesh()
+        print(f"sequence parallelism: clip T axis over "
+              f"{len(mesh.devices)} devices")
+        apply_t = make_time_sharded_apply(
+            lambda v, x: net.apply(v, x, "flow+logit", False, False), mesh)
+
+        def eval_step(state, batch):
+            mv_res = np.concatenate(
+                [np.asarray(batch["mv"]), np.asarray(batch["residual"])],
+                axis=-1)
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            variables, mv_res = place_time_sharded(variables, mv_res, mesh)
+            logits, _ = apply_t(variables, mv_res)
+            top1, top5 = topk_correct(logits, batch["label"], (1, 5))
+            return {"logits": logits, "top1": top1, "top5": top5}
+    else:
+        eval_step = make_i3d_eval_step(net)
 
     # per-video averaged scores over num_sample rounds (reference :205-218)
     avg_scores = np.zeros((len(ds), num_classes), np.float64)

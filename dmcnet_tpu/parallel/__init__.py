@@ -6,3 +6,8 @@ from dmcnet_tpu.parallel.mesh import (
     replicate_state,
     make_sharded_train_step,
 )
+from dmcnet_tpu.parallel.temporal import (
+    make_time_mesh,
+    make_time_sharded_apply,
+    place_time_sharded,
+)
