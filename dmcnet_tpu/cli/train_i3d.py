@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmcnet_tpu.data.iterator_factory import creat, dataset_num_classes
+from dmcnet_tpu.data.loader import PrefetchLoader
 from dmcnet_tpu.data.video_iter import I3DBatchAssembler, i3d_augment_batch
 from dmcnet_tpu.models.i3d import get_symbol, init_i3d_variables
 from dmcnet_tpu.parallel import (
@@ -106,6 +107,9 @@ def build_parser(dataset_default="HMDB51"):
     p.add_argument('--bf16', type=int, default=0,
                    help='mixed-precision training (convs in bfloat16; '
                         'params/BN stats/losses stay float32)')
+    p.add_argument('--workers', type=int, default=8,
+                   help='host loader threads (the reference hardcodes '
+                        'DataLoader num_workers=8, iterator_factory.py:184)')
     return p
 
 
@@ -193,12 +197,19 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                upsample_interp=False, input_size=input_size,
                mean=input_conf["mean"][0], std=input_conf["std"][0])
 
+    def host_micro(asm, ds, start, iter_size, bs):
+        """Host-side work only (decode + assemble): safe in loader threads."""
+        return [asm.batch([(start + k * bs + j) % len(ds)
+                           for j in range(bs)])
+                for k in range(iter_size)]
+
+    def stack_micro(micros):
+        """Device-side: augment each microbatch and stack (jitted kernels)."""
+        aug_micros = [i3d_augment_batch(m, **aug) for m in micros]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *aug_micros)
+
     def stacked_batch(asm, ds, start, iter_size, bs):
-        micro = []
-        for k in range(iter_size):
-            idx = [(start + k * bs + j) % len(ds) for j in range(bs)]
-            micro.append(i3d_augment_batch(asm.batch(idx), **aug))
-        return jax.tree.map(lambda *xs: jnp.stack(xs), *micro)
+        return stack_micro(host_micro(asm, ds, start, iter_size, bs))
 
     sample = stacked_batch(train_asm, train_ds, 0, 1, 1)
     x0 = jnp.concatenate([sample["mv"][0], sample["residual"][0]], axis=-1)
@@ -268,11 +279,16 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         meters = {k: AverageMeter() for k in
                   ("loss", "loss_cls", "loss_mse", "top1", "speed")}
         t_epoch = time.time()
-        for i_batch in range(batches_per_epoch):
+        # loader threads overlap host decode/assembly with device steps
+        # (reference DataLoader num_workers=8, iterator_factory.py:184)
+        loader = PrefetchLoader(
+            lambda i: host_micro(train_asm, train_ds,
+                                 i * args.batch_size * args.iter_size,
+                                 args.iter_size, args.batch_size),
+            batches_per_epoch, workers=args.workers)
+        for i_batch, micros in enumerate(loader):
             t0 = time.time()
-            batch = stacked_batch(train_asm, train_ds,
-                                  i_batch * args.batch_size * args.iter_size,
-                                  args.iter_size, args.batch_size)
+            batch = stack_micro(micros)
             batch = shard_batch(batch, mesh, batch_axis=1)
             rng, srng = jax.random.split(rng)
             stage1 = epoch + 1 <= args.epoch_thre

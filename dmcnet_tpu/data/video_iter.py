@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import numpy as np
 
@@ -53,6 +54,7 @@ class VideoClipDataset:
         self.rng = np.random.default_rng(seed)
         self._readers = ReaderCache(max_readers=32)
         self._gops = GopCache()
+        self._sampler_lock = threading.Lock()
         self._backup_item = None
         if shuffle_list_seed is not None:
             np.random.default_rng(shuffle_list_seed).shuffle(self.items)
@@ -129,10 +131,13 @@ class VideoClipDataset:
     def _get_clip(self, index):
         item = self.items[index % len(self.items)]
         range_max = max(item.num_frames, 1)
-        if isinstance(self.sampler, SequentialSampling):
-            idxs = self.sampler.sampling(range_max, v_id=index)
-        else:
-            idxs = self.sampler.sampling(range_max)
+        # samplers keep internal RNG/cursor state: serialize the (cheap)
+        # draw so PrefetchLoader threads can decode concurrently
+        with self._sampler_lock:
+            if isinstance(self.sampler, SequentialSampling):
+                idxs = self.sampler.sampling(range_max, v_id=index)
+            else:
+                idxs = self.sampler.sampling(range_max)
         clip = np.stack([self._frame(item, int(i)) for i in idxs])
         return clip, item.label
 
@@ -143,7 +148,8 @@ class VideoClipDataset:
                 self._backup_item = (clip, label)
                 return clip, label
             except Exception:
-                index = int(self.rng.integers(len(self.items)))
+                with self._sampler_lock:
+                    index = int(self.rng.integers(len(self.items)))
         if self._backup_item is not None:
             return self._backup_item
         raise RuntimeError(f"failed to load any clip after "
@@ -163,6 +169,7 @@ class I3DBatchAssembler:
         self.input_size = input_size
         self.is_train = is_train
         self.rng = np.random.default_rng(seed + 7)
+        self._rng_lock = threading.Lock()
         self.pad_hw = pad_hw
         self.hls_vars = hls_vars
         # rgb/I train pipelines add RandomScale + RandomHLS
@@ -173,6 +180,10 @@ class I3DBatchAssembler:
                                 "flow": (0,)}.get(dataset.modality, ())
 
     def batch(self, indices):
+        # numpy Generators are not thread-safe: each call works from a child
+        # generator forked under the lock (loader threads call concurrently)
+        with self._rng_lock:
+            rng = np.random.default_rng(self.rng.integers(2 ** 63))
         clips, labels = zip(*(self.ds[i] for i in indices))
         sizes = [c.shape[1:3] for c in clips]
         hp = self.pad_hw[0] if self.pad_hw else max(
@@ -187,7 +198,7 @@ class I3DBatchAssembler:
         for i, (clip, (h, w)) in enumerate(zip(clips, sizes)):
             if self.rgb_aug:
                 from dmcnet_tpu.data.color import random_hls
-                clip = np.stack([random_hls(f, self.rng, self.hls_vars)
+                clip = np.stack([random_hls(f, rng, self.hls_vars)
                                  for f in clip])
             frames[i, :, :h, :w] = clip
             crop_h = crop_w = cs
@@ -196,13 +207,13 @@ class I3DBatchAssembler:
                     # RandomScale(slen 224..288, aspect 0.8..1.25) expressed
                     # as a larger/smaller source crop resized to input_size.
                     hi = max(float(cs), min(cs * 288 / 224, min(h, w)))
-                    slen = self.rng.uniform(cs, hi)
-                    aspect = self.rng.uniform(0.8, 1.25)
+                    slen = rng.uniform(cs, hi)
+                    aspect = rng.uniform(0.8, 1.25)
                     crop_h = int(min(h, slen))
                     crop_w = int(min(w, slen * aspect))
-                oh = int(self.rng.integers(0, max(h - crop_h, 0) + 1))
-                ow = int(self.rng.integers(0, max(w - crop_w, 0) + 1))
-                flip = bool(self.rng.random() < 0.5)
+                oh = int(rng.integers(0, max(h - crop_h, 0) + 1))
+                ow = int(rng.integers(0, max(w - crop_w, 0) + 1))
+                flip = bool(rng.random() < 0.5)
             else:
                 oh, ow = max((h - cs) // 2, 0), max((w - cs) // 2, 0)
                 flip = False

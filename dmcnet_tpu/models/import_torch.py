@@ -35,6 +35,38 @@ def _linear_w(v):
     return np.transpose(np.asarray(v), (1, 0))
 
 
+def _flattened_linear_w(v, c_last):
+    """Linear over a FLATTENED conv map: torch flattens NCHW (c-major),
+    flax flattens NHWC — reorder the input features accordingly.
+    Applies to the discriminators' adv_layer (model.py:290,385); caught by
+    tests/test_gen_torch_parity.py."""
+    v = np.asarray(v)
+    o, flat = v.shape
+    hw = int(round((flat // c_last) ** 0.5))
+    assert c_last * hw * hw == flat, (v.shape, c_last)
+    w = v.reshape(o, c_last, hw, hw).transpose(2, 3, 1, 0)
+    return w.reshape(hw * hw * c_last, o)
+
+
+def _discriminator_last_width(state_dict):
+    """Out-channel count of the discriminator's final conv (any name
+    prefix), for the adv_layer flatten reorder."""
+    best = None
+    for key, value in state_dict.items():
+        parts = key.split(".")
+        if parts and parts[0] == "module":
+            parts = parts[1:]
+        if len(parts) < 4 or "discriminator" not in parts[0]:
+            continue
+        m = re.fullmatch(r"discriminator_block_(\d)(?:_(\d))?", parts[1])
+        if m and parts[2] == "0" and parts[3] == "weight":
+            rank = (int(m.group(1)), int(m.group(2) or 0))
+            if best is None or rank > best[0]:
+                shape = getattr(value, "shape", np.asarray(value).shape)
+                best = (rank, int(shape[0]))
+    return best[1] if best else None
+
+
 _BN_PARTS = {"weight": ("params", "scale"), "bias": ("params", "bias"),
              "running_mean": ("batch_stats", "mean"),
              "running_var": ("batch_stats", "var")}
@@ -121,6 +153,7 @@ def import_state_dict(state_dict, strip_module=True):
     variables with `merge_variables`.
     """
     params, batch_stats, skipped = {}, {}, []
+    d_last_c = _discriminator_last_width(state_dict)
     for key, value in state_dict.items():
         parts = key.split(".")
         if strip_module and parts[0] == "module":
@@ -150,7 +183,11 @@ def import_state_dict(state_dict, strip_module=True):
         elif kind.startswith("linear:"):
             leaf = kind.split(":")[1]
             if leaf == "weight":
-                _set(params, path + ("kernel",), _linear_w(value))
+                if path[-1] == "adv_layer" and d_last_c:
+                    w = _flattened_linear_w(value, d_last_c)
+                else:
+                    w = _linear_w(value)
+                _set(params, path + ("kernel",), w)
             else:
                 _set(params, path + ("bias",), value)
         elif kind.startswith("bn:"):

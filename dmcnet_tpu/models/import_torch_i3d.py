@@ -70,7 +70,10 @@ def _map_i3d_key(parts):
 
 
 def import_i3d_state_dict(state_dict, in_channels=None):
+    from dmcnet_tpu.models.import_torch import _discriminator_last_width
+
     params, batch_stats, skipped = {}, {}, []
+    d_last_c = _discriminator_last_width(state_dict)
     for key, value in state_dict.items():
         parts = key.split(".")
         if parts[0] == "module":
@@ -111,7 +114,14 @@ def import_i3d_state_dict(state_dict, in_channels=None):
         elif kind.startswith("linear:"):
             leaf = kind.split(":")[1]
             if leaf == "weight":
-                _set(params, path + ("kernel",), np.transpose(value, (1, 0)))
+                if path[-1] == "adv_layer" and d_last_c:
+                    from dmcnet_tpu.models.import_torch import (
+                        _flattened_linear_w,
+                    )
+                    w = _flattened_linear_w(value, d_last_c)
+                else:
+                    w = np.transpose(value, (1, 0))
+                _set(params, path + ("kernel",), w)
             else:
                 _set(params, path + ("bias",), value)
         elif kind.startswith("bn:"):
