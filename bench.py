@@ -77,21 +77,39 @@ def main(batch=256, steps=40, warmup=5, hw=224, windows=3):
         "vs_baseline": round(clips_per_sec / 5000.0, 3),
     }
 
-    # Extended artifact (bench_extended.json): the full on-device pipeline
-    # (incl. the Pallas back-trace kernel) and the flagship TRAIN step, so
-    # every round keeps a TPU-smoked record beyond the serving headline.
-    extended = {"headline": headline}
-    for name, fn in (("pipeline", _measure_pipeline),
-                     ("train_step", _measure_train),
-                     ("e2e_serving", _measure_e2e)):
+    # Extended artifact (bench_extended.json): every round keeps a
+    # TPU-smoked record beyond the serving headline.  The fast sections
+    # (pipeline incl. the Pallas back-trace kernel) always refresh; the
+    # slow ones (train step compiles, disk e2e, I3D) refresh when their
+    # standalone scripts run (python bench_train.py / bench_e2e.py /
+    # bench_i3d.py, each merging its section) or with BENCH_FULL=1 here.
+    import os
+
+    sections = [("pipeline", _measure_pipeline)]
+    if os.environ.get("BENCH_FULL"):
+        sections += [("train_step", _measure_train),
+                     ("e2e_serving", _measure_e2e)]
+    update_extended("headline", headline)
+    for name, fn in sections:
         try:
-            extended[name] = fn()
+            update_extended(name, fn())
         except Exception as exc:  # keep the headline robust
-            extended[name] = {"error": repr(exc)[:200]}
-    with open("bench_extended.json", "w") as f:
-        json.dump(extended, f, indent=1)
+            update_extended(name, {"error": repr(exc)[:200]})
 
     print(json.dumps(headline))
+
+
+def update_extended(key, value, path="bench_extended.json"):
+    """Merge one section into the per-round extended-bench artifact."""
+    data = {}
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        pass
+    data[key] = value
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
 
 
 def _measure_pipeline():

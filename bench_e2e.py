@@ -75,4 +75,7 @@ def measure(n_videos=4, t=48, h=256, w=320):
 
 
 if __name__ == "__main__":
-    print(json.dumps(measure()))
+    result = measure()
+    from bench import update_extended
+    update_extended("e2e_serving", result)
+    print(json.dumps(result))

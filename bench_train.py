@@ -79,4 +79,7 @@ def measure_both():
 
 
 if __name__ == "__main__":
-    print(json.dumps(measure_both()))
+    result = measure_both()
+    from bench import update_extended
+    update_extended("train_step", result)
+    print(json.dumps(result))

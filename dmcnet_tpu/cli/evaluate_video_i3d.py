@@ -93,24 +93,35 @@ def main(argv=None):
                        opt_cls=None, opt_gf=None)
     state, meta = load_checkpoint_params(state, args.load_weights)
     if args.shard_time:
-        from dmcnet_tpu.parallel import make_time_mesh, place_time_sharded
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dmcnet_tpu.parallel import make_time_mesh
         from dmcnet_tpu.parallel.temporal import make_time_sharded_apply
         from dmcnet_tpu.train.engine import topk_correct
 
-        mesh = make_time_mesh()
-        print(f"sequence parallelism: clip T axis over "
-              f"{len(mesh.devices)} devices")
+        # T must divide the mesh: use the largest device count that does
+        # (e.g. the reference's 250-frame eval clips shard over 5 chips of
+        # an 8-chip host)
+        n_dev = len(jax.devices())
+        while args.clip_length % n_dev:
+            n_dev -= 1
+        mesh = make_time_mesh(jax.devices()[:n_dev])
+        print(f"sequence parallelism: clip T={args.clip_length} over "
+              f"{n_dev} devices")
         apply_t = make_time_sharded_apply(
             lambda v, x: net.apply(v, x, "flow+logit", False, False), mesh)
+        # replicate the parameters onto the mesh ONCE, not per batch
+        placed_vars = jax.device_put(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            NamedSharding(mesh, P()))
+        t_sharding = NamedSharding(mesh, P(None, "time"))
 
         def eval_step(state, batch):
-            mv_res = np.concatenate(
-                [np.asarray(batch["mv"]), np.asarray(batch["residual"])],
-                axis=-1)
-            variables = {"params": state.params,
-                         "batch_stats": state.batch_stats}
-            variables, mv_res = place_time_sharded(variables, mv_res, mesh)
-            logits, _ = apply_t(variables, mv_res)
+            mv_res = jnp.concatenate([batch["mv"], batch["residual"]],
+                                     axis=-1)
+            mv_res = jax.device_put(np.asarray(mv_res), t_sharding)
+            logits, _ = apply_t(placed_vars, mv_res)
             top1, top5 = topk_correct(logits, batch["label"], (1, 5))
             return {"logits": logits, "top1": top1, "top5": top5}
     else:
@@ -121,12 +132,14 @@ def main(argv=None):
     labels = np.zeros((len(ds),), np.int64)
     t0 = time.time()
     done = 0
+    from dmcnet_tpu.data.loader import pad_indices
     for round_i in range(args.num_sample):
         for start in range(0, len(ds), args.batch_size):
-            idx = list(range(start, min(start + args.batch_size, len(ds))))
-            n_valid = len(idx)
             # pad the ragged final batch to a fixed shape (single compile)
-            padded = idx + [idx[-1]] * (args.batch_size - n_valid)
+            padded, n_valid = pad_indices(
+                start, min(start + args.batch_size, len(ds)),
+                args.batch_size)
+            idx = padded[:n_valid]
             b = i3d_augment_batch(asm.batch(padded), **aug)
             m = eval_step(state, b)
             avg_scores[idx] += np.asarray(m["logits"])[:n_valid]

@@ -44,6 +44,17 @@ SAVE_FREQ = 40
 PRINT_FREQ = 20
 
 
+def flush_pending(pending, meters):
+    """Materialize deferred device metrics into the meters (exact values;
+    the deferral only moves the device sync off the per-step path)."""
+    for m_i, b_i in pending:
+        for k in ("loss", "loss_cls", "loss_mse", "loss_adv",
+                  "top1", "top5", "acc_D_adv", "acc_G_adv"):
+            if k in m_i:
+                meters[k].update(float(m_i[k]), b_i)
+    pending.clear()
+
+
 def build_model(args, num_class, gan):
     dtype = jnp.bfloat16 if getattr(args, "bf16", 0) else None
     return DMCNet(
@@ -142,6 +153,12 @@ def main(argv=None, gan=False, input_size=224):
     # (replaces reference DataParallel, train.py:117).
     n_dev = jax.device_count()
     use_mesh = n_dev > 1 and args.batch_size % n_dev == 0
+    if multi_host and not use_mesh:
+        # refusing is better than silently training unsynchronized per-host
+        # replicas (no mesh = no gradient all-reduce)
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by the "
+            f"global device count ({n_dev}) for multi-host training")
     if use_mesh:
         from dmcnet_tpu.parallel import (
             make_mesh, make_sharded_train_step, replicate_state, shard_batch)
@@ -224,12 +241,7 @@ def main(argv=None, gan=False, input_size=224):
             meters["batch_time"].update(time.time() - end)
             end = time.time()
             if i % PRINT_FREQ == 0:
-                for m_i, b_i in pending:
-                    for k in ("loss", "loss_cls", "loss_mse", "loss_adv",
-                              "top1", "top5", "acc_D_adv", "acc_G_adv"):
-                        if k in m_i:
-                            meters[k].update(float(m_i[k]), b_i)
-                pending.clear()
+                flush_pending(pending, meters)
                 line = (f"Epoch: [{epoch}][{i}/{batches_per_epoch}], "
                         f"lr_gf: {lr:.7f}\t"
                         f"Time {meters['batch_time'].val:.3f} "
@@ -248,6 +260,7 @@ def main(argv=None, gan=False, input_size=224):
                             f"\tacc_D_adv {meters['acc_D_adv'].avg:.3f}"
                             f"\tacc_G_adv {meters['acc_G_adv'].avg:.3f}")
                 print(line)
+        flush_pending(pending, meters)  # tail batches past the last print
 
         if epoch % args.eval_freq == 0 or epoch == args.epochs - 1:
             prec1 = validate(val_ds, val_asm, eval_step, state, args,
@@ -263,6 +276,11 @@ def main(argv=None, gan=False, input_size=224):
                         save_checkpoint_orbax,
                     )
                     save_checkpoint_orbax(state, meta, name + ".orbax")
+                    if is_best:  # keep a best-model artifact (train.py:375)
+                        save_checkpoint_orbax(
+                            state, meta,
+                            name.replace("checkpoint", "model_best")
+                            + ".orbax")
                 else:
                     save_checkpoint(state, meta, name, is_best)
     return best_prec1
@@ -276,10 +294,9 @@ def validate(val_ds, val_asm, eval_step, state, args, aug_kwargs):
     losses = AverageMeter()
     n = len(val_ds)
     bs = args.batch_size
+    from dmcnet_tpu.data.loader import pad_indices
     for start in range(0, n, bs):
-        idx = list(range(start, min(start + bs, n)))
-        n_valid = len(idx)
-        idx += [idx[-1]] * (bs - n_valid)
+        idx, n_valid = pad_indices(start, min(start + bs, n), bs)
         batch = augment_eval_batch(val_asm.eval_batch(idx), **aug_kwargs)
         batch["weight"] = jnp.asarray(
             (np.arange(bs) < n_valid).astype(np.float32))

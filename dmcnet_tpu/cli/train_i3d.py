@@ -270,7 +270,10 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     switched = False
 
     for epoch in range(max(args.resume_epoch, 0), args.end_epoch):
-        if args.modality == "flow+mp4" and epoch == args.epoch_thre \
+        # >= so a resume landing past epoch_thre still applies the stage-2
+        # optimizers (reference recreates them at the threshold,
+        # model.py:347-351)
+        if args.modality == "flow+mp4" and epoch >= args.epoch_thre \
                 and not switched:
             print("stage 2: fresh optimizers (reference model.py:347-351)")
             state, d_step, g_step = fresh_state(
@@ -323,11 +326,11 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         # compile total; padded rows masked out host-side).
         scores, labels = [], []
         top1_m = AverageMeter()
+        from dmcnet_tpu.data.loader import pad_indices
         for start in range(0, len(val_ds), args.batch_size):
-            idx = list(range(start, min(start + args.batch_size,
-                                        len(val_ds))))
-            n_valid = len(idx)
-            idx += [idx[-1]] * (args.batch_size - n_valid)
+            idx, n_valid = pad_indices(
+                start, min(start + args.batch_size, len(val_ds)),
+                args.batch_size)
             b = i3d_augment_batch(val_asm.batch(idx), **aug)
             b = shard_batch(b, mesh)
             m = eval_step(state, b)

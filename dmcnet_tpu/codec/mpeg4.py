@@ -200,6 +200,8 @@ class ReaderCache:
 
         self._lock = threading.Lock()
         self._readers = collections.OrderedDict()
+        self._opening = {}  # path -> Lock: serialize opens per path so two
+        # threads missing concurrently don't both demux the same file
         self._max = max_readers
 
     def get(self, path):
@@ -208,12 +210,20 @@ class ReaderCache:
             if reader is not None:
                 self._readers.move_to_end(path)
                 return reader
-        reader = VideoReader(path)
-        with self._lock:
-            self._readers[path] = reader
-            self._readers.move_to_end(path)
-            while len(self._readers) > self._max:
-                self._readers.popitem(last=False)
+            open_lock = self._opening.setdefault(path, threading.Lock())
+        with open_lock:
+            with self._lock:  # double-check: the racing thread may have won
+                reader = self._readers.get(path)
+                if reader is not None:
+                    self._readers.move_to_end(path)
+                    return reader
+            reader = VideoReader(path)
+            with self._lock:
+                self._readers[path] = reader
+                self._readers.move_to_end(path)
+                while len(self._readers) > self._max:
+                    self._readers.popitem(last=False)
+                self._opening.pop(path, None)
         return reader
 
     def __len__(self):

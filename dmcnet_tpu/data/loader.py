@@ -12,6 +12,18 @@ import queue
 import threading
 
 
+def pad_indices(start, stop, batch_size):
+    """Eval-batch indices [start, stop) padded to `batch_size` by repeating
+    the last index (fixed shapes -> one XLA compile; callers mask or slice
+    the padded rows).  Returns (indices, n_valid)."""
+    idx = list(range(start, stop))
+    if not idx:
+        raise ValueError(f"empty index range [{start}, {stop})")
+    n_valid = len(idx)
+    idx += [idx[-1]] * (batch_size - n_valid)
+    return idx, n_valid
+
+
 class PrefetchLoader:
     """Iterate batches produced by `make_batch(batch_index)` with
     `num_batches` batches per epoch, prefetched by `workers` threads."""

@@ -73,6 +73,37 @@ def test_estimator_parity(ref_model, rng, torch_name, flax_name):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
 
 
+def test_context_network_parity(ref_model, rng):
+    """Dilated-conv generator with BN (eval stats) vs reference torch."""
+    torch.manual_seed(2)
+    ref = ref_model.ContextNetwork(5, batch_norm=True).eval()
+    # non-trivial BN stats
+    for m in ref.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0.1, 0.2)
+            m.running_var.uniform_(0.5, 1.5)
+    x = rng.normal(size=(2, 64, 64, 5)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(
+            np.ascontiguousarray(np.transpose(x, (0, 3, 1, 2))))).numpy()
+    want = np.transpose(want, (0, 2, 3, 1))
+
+    net = make_estimator("ContextNetwork")
+    variables = net.init(jax.random.key(0), jnp.zeros((1, 64, 64, 5)),
+                         train=False)
+    params, bstats = _to_flax(ref, "gen_flow_model")
+    merged, missing = merge_variables(
+        {"params": jax.tree.map(np.zeros_like, variables["params"]),
+         "batch_stats": jax.tree.map(np.zeros_like,
+                                     variables["batch_stats"])},
+        {"params": params, "batch_stats": bstats}, strict_shapes=True)
+    assert not missing, missing
+    got = net.apply({"params": merged["params"],
+                     "batch_stats": merged["batch_stats"]},
+                    jnp.asarray(x), train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
 @pytest.mark.parametrize("arch_d", ["Discriminator", "Discriminator2",
                                     "Discriminator4"])
 def test_discriminator_parity(ref_model, rng, arch_d):
