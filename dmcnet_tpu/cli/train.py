@@ -14,6 +14,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import jax.profiler
 import numpy as np
 
 from dmcnet_tpu.cli.train_options import build_parser, num_classes_for
@@ -216,8 +217,18 @@ def main(argv=None, gan=False, input_size=224):
                    "loss_mse", "loss_adv", "top1", "top5",
                    "acc_D_adv", "acc_G_adv")}
         pending = []
+        profiling = False
         end = time.time()
         for i, raw in enumerate(loader):
+            if args.profile_dir and epoch == start_epoch:
+                # steps 2-7: past compile, short enough to view in xprof
+                if i == 2:
+                    jax.profiler.start_trace(args.profile_dir)
+                    profiling = True
+                elif i == 8 and profiling:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    print(f"XLA trace written to {args.profile_dir}")
             meters["data_time"].update(time.time() - end)
             batch = place(augment_train_batch(raw, **aug_kwargs))
             rng, step_rng = jax.random.split(rng)
@@ -261,6 +272,9 @@ def main(argv=None, gan=False, input_size=224):
                             f"\tacc_G_adv {meters['acc_G_adv'].avg:.3f}")
                 print(line)
         flush_pending(pending, meters)  # tail batches past the last print
+        if profiling:  # epoch shorter than the trace window
+            jax.profiler.stop_trace()
+            print(f"XLA trace written to {args.profile_dir}")
 
         if epoch % args.eval_freq == 0 or epoch == args.epochs - 1:
             prec1 = validate(val_ds, val_asm, eval_step, state, args,

@@ -120,6 +120,9 @@ def build_parser(gan=False):
                              'bfloat16 on the MXU, params/BN stats/losses '
                              'stay float32 (TPU-native; the reference is '
                              'f32-only).')
+    parser.add_argument('--profile-dir', type=str, default=None,
+                        help='capture an XLA trace of training steps 2-7 '
+                             'of the first epoch (TensorBoard/xprof).')
     return parser
 
 
