@@ -60,6 +60,10 @@ def build_parser():
     parser.add_argument('--gen_flow_ds_factor', type=int, default=0)
     parser.add_argument('--att', type=int, default=0)
     parser.add_argument('--mv_minmaxnorm', type=int, default=0)
+    parser.add_argument('--packed-gen', type=int, default=0,
+                        help='space-to-depth factor for the dense DMC '
+                             'estimators (exact reparameterization; same '
+                             'checkpoints as the unpacked layout)')
     return parser
 
 
@@ -92,7 +96,8 @@ def main(argv=None):
         gen_flow_or_delta=args.gen_flow_or_delta,
         gen_flow_ds_factor=args.gen_flow_ds_factor,
         arch_estimator=args.arch_estimator, arch_d=args.arch_d,
-        att=args.att, detach_classifier=args.arch_d is None)
+        att=args.att, detach_classifier=args.arch_d is None,
+        packed_gen=args.packed_gen)
 
     ds = CoviarDataset(
         data_root=args.data_root, flow_root=args.flow_root,

@@ -70,7 +70,8 @@ def build_model(args, num_class, gan):
         arch_estimator=args.arch_estimator,
         arch_d=getattr(args, "arch_d", None) if gan else None,
         att=args.att,
-        detach_classifier=not gan)
+        detach_classifier=not gan,
+        packed_gen=getattr(args, "packed_gen", 0))
 
 
 def make_datasets(args):

@@ -107,6 +107,10 @@ def build_parser(dataset_default="HMDB51"):
     p.add_argument('--bf16', type=int, default=0,
                    help='mixed-precision training (convs in bfloat16; '
                         'params/BN stats/losses stay float32)')
+    p.add_argument('--packed-gen', type=int, default=0,
+                   help='space-to-depth factor (e.g. 2) for the dense DMC '
+                        'estimators: exact packed reparameterization, same '
+                        'parameter tree/checkpoints; 0 = faithful layout')
     p.add_argument('--workers', type=int, default=8,
                    help='host loader threads (the reference hardcodes '
                         'DataLoader num_workers=8, iterator_factory.py:184)')
@@ -168,7 +172,8 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         args.network, modality=args.modality, num_classes=num_classes,
         arch_estimator=args.arch_estimator, arch_d=args.arch_d,
         dropout_prob=args.drop_out, remat=bool(args.remat),
-        dtype=jnp.bfloat16 if args.bf16 else None)
+        dtype=jnp.bfloat16 if args.bf16 else None,
+        packed_gen=args.packed_gen)
 
     # Data-parallel mesh: the TPU-native DataParallel
     # (reference train_model.py:117-120).  Use the largest device count that

@@ -120,6 +120,13 @@ def build_parser(gan=False):
                              'bfloat16 on the MXU, params/BN stats/losses '
                              'stay float32 (TPU-native; the reference is '
                              'f32-only).')
+    parser.add_argument('--packed-gen', type=int, default=0,
+                        help='space-to-depth factor (e.g. 2) for the dense '
+                             'DMC estimators: EXACT packed reparameterization '
+                             'that lifts MXU lane utilization of the tiny-'
+                             'channel generator convs; checkpoints stay '
+                             'interchangeable with the unpacked layout. '
+                             '0 = faithful layout.')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='capture an XLA trace of training steps 2-7 '
                              'of the first epoch (TensorBoard/xprof).')

@@ -112,6 +112,8 @@ class I3D(nn.Module):
     # checkpoint_sequential (i3d.py:19); trades FLOPs for HBM on long clips.
     dtype: Optional[jnp.dtype] = None  # bf16 = mixed-precision convs
     # (params/BN stats stay f32)
+    packed_gen: int = 0  # space-to-depth factor for the dense estimators'
+    # exact packed train/eval path (generators._DenseEstimator)
 
     @property
     def in_channels(self):
@@ -120,7 +122,8 @@ class I3D(nn.Module):
     def setup(self):
         if self.arch_estimator:
             self.gen_flow_model = make_estimator(self.arch_estimator,
-                                                 dtype=self.dtype)
+                                                 dtype=self.dtype,
+                                                 packed=self.packed_gen)
         if self.arch_d:
             self.discriminator = make_discriminator(self.arch_d)
         self.conv3d_1a_7x7 = Unit3D(64, (7, 7, 7), (2, 2, 2),
@@ -227,6 +230,7 @@ def get_symbol(name, modality="rgb", num_classes=51, arch_estimator=None,
     net = I3D(num_classes=num_classes, modality=modality,
               dropout_prob=dropout_prob, arch_estimator=arch_estimator,
               arch_d=arch_d, remat=remat,
-              dtype=kwargs.get("dtype"))
+              dtype=kwargs.get("dtype"),
+              packed_gen=kwargs.get("packed_gen", 0))
     input_conf = {"mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5]}
     return net, input_conf

@@ -72,11 +72,13 @@ class DMCNet(nn.Module):
     detach_classifier: bool = True  # False for the GAN variant
     dtype: Optional[jnp.dtype] = None  # bf16 = mixed-precision training:
     # params/BN stats/losses stay f32, convs compute on the MXU in bf16
+    packed_gen: int = 0  # space-to-depth factor for the dense estimators'
+    # exact packed train/eval path (generators._DenseEstimator)
 
     def setup(self):
         self.gen_flow_model = make_estimator(
             self.arch_estimator, self.att, self.gen_flow_ds_factor,
-            dtype=self.dtype)
+            dtype=self.dtype, packed=self.packed_gen)
         self.base_model = _make_backbone(self.arch, self.num_class,
                                          dtype=self.dtype)
         if self.arch_d:

@@ -21,6 +21,8 @@ Used for inference/serving (bench.py); training keeps the faithful layout.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax.numpy as jnp
@@ -85,6 +87,56 @@ def pack_conv3x3(w, b, s, in_segments):
     bp = None
     if b is not None:
         bp = np.tile(np.asarray(b), s * s)
+    return wp, bp
+
+
+@functools.lru_cache(maxsize=None)
+def _pack_plan(s, in_segments, c_in):
+    """Static scatter plan realizing `pack_conv3x3` as ONE jnp scatter-add.
+
+    Returns index arrays (ky, kx, rows, qouts, sdy, sdx, sci), each of
+    length s*s * 9 * c_in: destination (packed-kernel tap, packed input
+    row, packed output block) and source (original tap, input channel) of
+    every placed (c_in -> c_out) weight slab.  No two entries share a
+    destination, so scatter-add == the reference's scatter-assign.
+    """
+    ky, kx, rows, qouts, sdy, sdx, sci = [], [], [], [], [], [], []
+    for qy in range(s):
+        for qx in range(s):
+            q_out = qy * s + qx
+            for dy in range(3):
+                for dx in range(3):
+                    ay, ax = qy + dy - 1, qx + dx - 1
+                    tby, py = (ay + s) // s - 1, (ay + s) % s
+                    tbx, px = (ax + s) // s - 1, (ax + s) % s
+                    p_in = py * s + px
+                    for ci in range(c_in):
+                        ky.append(tby + 1)
+                        kx.append(tbx + 1)
+                        rows.append(_packed_index(in_segments, s, p_in, ci))
+                        qouts.append(q_out)
+                        sdy.append(dy)
+                        sdx.append(dx)
+                        sci.append(ci)
+    return tuple(np.asarray(a, np.int32)
+                 for a in (ky, kx, rows, qouts, sdy, sdx, sci))
+
+
+def pack_conv3x3_jnp(w, b, s, in_segments):
+    """Differentiable twin of `pack_conv3x3` for TRAINING in the packed
+    layout: same zero-filled block-Toeplitz transform, expressed as jnp ops
+    on the (traced) unpacked weights so gradients flow back to the faithful
+    parameter tree.  The scatter plan is static (cached per shape); XLA sees
+    one scatter-add over a tensor of a few hundred KB per step — noise next
+    to the convs it unlocks.
+    """
+    _, _, c_in, c_out = w.shape
+    ky, kx, rows, qouts, sdy, sdx, sci = _pack_plan(
+        s, tuple(in_segments), c_in)
+    wp = jnp.zeros((3, 3, s * s * c_in, s * s, c_out), w.dtype)
+    wp = wp.at[ky, kx, rows, qouts, :].add(w[sdy, sdx, sci, :])
+    wp = wp.reshape(3, 3, s * s * c_in, s * s * c_out)
+    bp = jnp.tile(b, s * s) if b is not None else None
     return wp, bp
 
 

@@ -50,6 +50,64 @@ def test_quantized_packed_close_to_f32(rng):
     assert rel < 0.05, rel
 
 
+def test_pack_conv3x3_jnp_matches_numpy(rng):
+    """The differentiable (train-time) pack transform must reproduce the
+    numpy pack used by the serving path, for every layer shape of the dense
+    family."""
+    from dmcnet_tpu.ops.packed_generator import pack_conv3x3, pack_conv3x3_jnp
+
+    segments = [5]
+    for w_out in (8, 8, 6, 4, 2, None):  # None = predict_flow (2ch)
+        c_out = 2 if w_out is None else w_out
+        c_in = sum(segments)
+        w = rng.normal(size=(3, 3, c_in, c_out)).astype(np.float32)
+        b = rng.normal(size=(c_out,)).astype(np.float32)
+        wp_np, bp_np = pack_conv3x3(w, b, 2, segments)
+        wp_j, bp_j = pack_conv3x3_jnp(jnp.asarray(w), jnp.asarray(b), 2,
+                                      segments)
+        np.testing.assert_array_equal(np.asarray(wp_j), wp_np)
+        np.testing.assert_array_equal(np.asarray(bp_j), bp_np)
+        if w_out is not None:
+            segments = [w_out] + segments
+
+
+@pytest.mark.parametrize("arch", ["DenseNetTiny", "DenseNetSmall"])
+def test_packed_training_mode_parity(rng, arch):
+    """`packed=2` on the flax estimator: identical param tree/init, same
+    forward, and matching gradients — training in packed layout is an exact
+    reparameterization of the faithful model."""
+    m0 = make_estimator(arch)
+    m2 = make_estimator(arch, packed=2)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 5)), jnp.float32)
+    v0 = m0.init(jax.random.key(0), x)
+    v2 = m2.init(jax.random.key(0), x)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.array_equal(a, b)), v0, v2))
+
+    y0 = np.asarray(m0.apply(v0, x))
+    y2 = np.asarray(m2.apply(v0, x))
+    np.testing.assert_allclose(y2, y0, atol=1e-4)
+
+    def loss(v, m):
+        return jnp.mean(m.apply(v, x) ** 2)
+
+    g0 = jax.grad(lambda v: loss(v, m0))(v0)
+    g2 = jax.grad(lambda v: loss(v, m2))(v0)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-2)
+
+
+def test_packed_training_mode_odd_shape_fallback(rng):
+    """H/W not divisible by s must fall back to the unpacked path (exact)."""
+    m2 = make_estimator("DenseNetTiny", packed=2)
+    x = jnp.asarray(rng.normal(size=(1, 15, 17, 5)), jnp.float32)
+    v = m2.init(jax.random.key(0), x)
+    m0 = make_estimator("DenseNetTiny")
+    np.testing.assert_array_equal(np.asarray(m2.apply(v, x)),
+                                  np.asarray(m0.apply(v, x)))
+
+
 def test_packed_small_family(rng):
     model = make_estimator("DenseNetSmall")
     x = jnp.asarray(rng.normal(size=(1, 16, 16, 5)), jnp.float32)
