@@ -17,7 +17,7 @@ import numpy as np
 
 
 def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
-            iter_size=1):
+            iter_size=1, detach=True, packed=0, train_backbone=True):
     from dmcnet_tpu.models.i3d import I3D, init_i3d_variables
     from dmcnet_tpu.train.engine import TrainState
     from dmcnet_tpu.train.engine_i3d import (
@@ -26,7 +26,8 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
     )
 
     net = I3D(num_classes=51, modality="flow+mp4",
-              arch_estimator="DenseNetTiny", dtype=dtype)
+              arch_estimator="DenseNetTiny", dtype=dtype,
+              packed_gen=packed)
     rng = np.random.default_rng(0)
     x0 = jnp.zeros((1, t, hw, hw, 5), jnp.float32)
     variables = init_i3d_variables(net, jax.random.key(0), x0)
@@ -35,7 +36,8 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
     state = TrainState(params=params, batch_stats=bstats,
                        opt_cls=opts["cls"].init(params),
                        opt_gf=opts["gf"].init(params))
-    _, g_step = make_i3d_steps(net, opts, adv=0.0)
+    _, g_step = make_i3d_steps(net, opts, adv=0.0, detach=detach,
+                               train_backbone=train_backbone)
     bd = {
         "mv": jnp.asarray(rng.normal(size=(iter_size, batch, t, hw, hw, 2)),
                           jnp.float32),
@@ -68,14 +70,23 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
         "metric": "i3d_train_samples_per_sec_chip",
         "value": round(n_samples / dt, 2),
         "unit": "samples/s",
-        "note": f"I3D flow+mp4 G step, batch {batch} x clip {t} @ {hw}^2"
-                + (" (bf16)" if dtype is not None else ""),
+        "note": f"I3D flow+mp4 G step, batch {batch} x clip {t} @ {hw}^2, "
+                f"detach={int(detach)} (train.sh recipe)"
+                + (" (bf16)" if dtype is not None else "")
+                + (f" (packed s={packed})" if packed else "")
+                + ("" if train_backbone else " (stage-1 frozen backbone)"),
     }
 
 
 def measure_both():
+    """Flagship train.sh recipe (--detach 1): stage-2 G step f32 as the
+    headline, plus bf16 / packed-generator / stage-1-frozen variants."""
     out = measure()
     out["bf16_samples_per_sec"] = measure(dtype=jnp.bfloat16)["value"]
+    out["packed_bf16_samples_per_sec"] = measure(
+        dtype=jnp.bfloat16, packed=2)["value"]
+    out["stage1_frozen_samples_per_sec"] = measure(
+        train_backbone=False)["value"]
     return out
 
 

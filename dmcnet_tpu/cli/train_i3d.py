@@ -237,7 +237,14 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         # Raw (unjitted) steps wrapped with explicit mesh shardings: batch
         # sharded on B (axis 1 of the stacked (iter_size, B, ...) layout),
         # state replicated; XLA inserts the gradient all-reduce over ICI.
-        d_step, g_step = make_i3d_steps(net, opts, adv=args.adv, jit=False)
+        # Stage 1 with --detach runs the base optimizer at lr 0 and its
+        # moments die at the stage switch, so those steps statically skip
+        # the backbone backward (engine_i3d.make_i3d_steps docstring).
+        frozen_backbone = (not stage2 and bool(args.detach)
+                           and args.modality == "flow+mp4")
+        d_step, g_step = make_i3d_steps(net, opts, adv=args.adv, jit=False,
+                                        detach=bool(args.detach),
+                                        train_backbone=not frozen_backbone)
         d_step = make_sharded_train_step(d_step, mesh, batch_axis=1)
         g_step = make_sharded_train_step(g_step, mesh, batch_axis=1)
         return replicate_state(state, mesh), d_step, g_step

@@ -127,7 +127,7 @@ def oversample_specs(image_h, image_w, scale_size, crop_size):
 
 @functools.partial(jax.jit, static_argnames=("out_size", "negate_channels"))
 def apply_crops(frames, scales_hw, translations_hw, flips, out_size=224,
-                negate_channels=(0, 2)):
+                negate_channels=(0, 2), vflips=None):
     """Batched crop+resize+flip.
 
     Args:
@@ -137,20 +137,27 @@ def apply_crops(frames, scales_hw, translations_hw, flips, out_size=224,
       out_size: static output spatial size.
       negate_channels: channels mapped to 256-x on mirror — (0, 2) for the
         [flow, mv, residual] layout (flow_x, mv_x); (0,) for iframe groups.
+      vflips: optional (B,) bool vertical flips (reference
+        RandomVerticalFlip, image_transforms.py:202-212 — a plain flipud
+        with NO channel negation, faithfully; unused by the reference main
+        recipes but part of its transform surface).
 
     Returns (B, S, out, out, C) float32.
     """
+    if vflips is None:
+        vflips = jnp.zeros(frames.shape[0], bool)
 
-    def one(sample, scale, trans, flip):
+    def one(sample, scale, trans, flip, vflip):
         out = jax.image.scale_and_translate(
             sample, (sample.shape[0], out_size, out_size, sample.shape[-1]),
             (1, 2), scale, trans, method="linear", antialias=False)
         neg = out[:, :, ::-1, :]
         for ch in negate_channels:
             neg = neg.at[..., ch].set(256.0 - neg[..., ch])
-        return jnp.where(flip, neg, out)
+        out = jnp.where(flip, neg, out)
+        return jnp.where(vflip, out[:, ::-1, :, :], out)
 
-    return jax.vmap(one)(frames, scales_hw, translations_hw, flips)
+    return jax.vmap(one)(frames, scales_hw, translations_hw, flips, vflips)
 
 
 def _align_corners_upsample_axis(x, factor, axis):

@@ -164,10 +164,13 @@ class I3DBatchAssembler:
     """
 
     def __init__(self, dataset, input_size=224, is_train=True, seed=0,
-                 pad_hw=None, hls_vars=(15, 35, 25)):
+                 pad_hw=None, hls_vars=(15, 35, 25), vertical_flip=False):
         self.ds = dataset
         self.input_size = input_size
         self.is_train = is_train
+        # optional RandomVerticalFlip (reference image_transforms.py:202-212;
+        # offered by its transform surface, unused by the shipped recipes)
+        self.vertical_flip = vertical_flip
         self.rng = np.random.default_rng(seed + 7)
         self._rng_lock = threading.Lock()
         self.pad_hw = pad_hw
@@ -193,7 +196,7 @@ class I3DBatchAssembler:
         ch = clips[0].shape[-1]
         frames = np.zeros((len(clips), clips[0].shape[0], hp, wp, ch),
                           np.uint8)
-        scales, trans, flips = [], [], []
+        scales, trans, flips, vflips = [], [], [], []
         cs = self.input_size
         for i, (clip, (h, w)) in enumerate(zip(clips, sizes)):
             if self.rgb_aug:
@@ -222,11 +225,14 @@ class I3DBatchAssembler:
             scales.append((sh, sw))
             trans.append((th, tw))
             flips.append(flip)
+            vflips.append(bool(self.vertical_flip and self.is_train
+                               and rng.random() < 0.5))
         return {
             "frames": frames,
             "scales": np.asarray(scales, np.float32),
             "translations": np.asarray(trans, np.float32),
             "flips": np.asarray(flips, bool),
+            "vflips": np.asarray(vflips, bool),
             "label": np.asarray(labels, np.int32),
         }
 
@@ -244,10 +250,13 @@ def i3d_augment_batch(batch, modality="flow+mp4", ds_factor=0,
 
     neg = {"flow+mp4": (0, 2), "mv": (0,), "flow": (0,)}.get(modality, ())
     frames = jnp.asarray(batch["frames"]).astype(jnp.float32)
+    vflips = batch.get("vflips")
     out = T.apply_crops(frames, jnp.asarray(batch["scales"]),
                         jnp.asarray(batch["translations"]),
                         jnp.asarray(batch["flips"]), out_size=input_size,
-                        negate_channels=neg)
+                        negate_channels=neg,
+                        vflips=None if vflips is None
+                        else jnp.asarray(vflips))
     x = (out / 255.0 - mean) / std
     label = jnp.asarray(batch["label"])
     if modality != "flow+mp4":

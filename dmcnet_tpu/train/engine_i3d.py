@@ -62,11 +62,19 @@ def make_i3d_optimizers(params, optim="adam", lr_mul=0.2, has_gan=False,
     return opts
 
 
-def _forward_gan(model, params, batch_stats, mv_res, flow, rng, with_adv):
-    """One microbatch forward: logits, gen flow, adv loss pieces."""
+def _forward_gan(model, params, batch_stats, mv_res, flow, rng, with_adv,
+                 detach=False):
+    """One microbatch forward: logits, gen flow, adv loss pieces.
+
+    `detach` stop-gradients the generator output before the stem exactly
+    like the reference's `--detach 1` (i3d.py:573-576, threaded through
+    train/model.py:147) — the shipped train.sh recipe uses it.  Besides
+    fidelity, it removes the stem's input-gradient (a strided transposed
+    conv over the full 224^2 clip) from the backward pass, which measures
+    ~25% of the whole G step."""
     variables = {"params": params, "batch_stats": batch_stats}
     (logits, gen), mutated = model.apply(
-        variables, mv_res, "flow+logit", False, True,
+        variables, mv_res, "flow+logit", detach, True,
         mutable=["batch_stats"], rngs={"dropout": rng})
     adv_logits = None
     if with_adv:
@@ -82,26 +90,54 @@ def _forward_gan(model, params, batch_stats, mv_res, flow, rng, with_adv):
     return logits, gen, adv_logits, mutated["batch_stats"]
 
 
-def make_i3d_steps(model, opts, *, adv=0.0, jit=True):
+def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
+                   train_backbone=True):
     """Returns (d_step, g_step).  Each:
     fn(state, batch, rng, lr, lr1, lr_d, wd, drop_cls) -> (state, metrics);
     `lr1` is the base-optimizer lr (0 when detached/frozen), `drop_cls`
-    zeroes the cls term (epoch 0 G loss)."""
+    zeroes the cls term (epoch 0 G loss).  `detach` = the reference
+    `--detach` flag (stop-gradient before the stem, i3d.py:573-576).
+
+    `train_backbone=False` is the static stage-1-with-detach realization:
+    the reference runs those epochs with the base optimizer's lr forced to 0
+    (model.py:372-379), i.e. every backbone update is exactly zero and the
+    base Adam moments it accumulates are discarded at the epoch_thre switch
+    to freshly-initialized stage-2 optimizers (model.py:347-351).  Skipping
+    the backbone backward (differentiating only the generator/discriminator
+    sub-trees) therefore produces identical parameters with ~2x the step
+    speed; the caller rebuilds steps at the stage switch anyway."""
     has_gan = "d" in opts
 
-    def accumulate(state, batch, rng, loss_builder):
-        """Scan microbatches: mean grads + final batch_stats + metrics."""
+    def accumulate(state, batch, rng, loss_builder, live_keys=None):
+        """Scan microbatches: mean grads + final batch_stats + metrics.
+        `live_keys`: top-level param groups to differentiate (None = all);
+        grads of the rest are zeros (dead — XLA removes them)."""
         iter_size = batch["label"].shape[0]
 
         def micro(carry, xs):
             bs, rng = carry
             mb, rng = jax.random.split(rng)
 
-            def loss_fn(params):
-                return loss_builder(params, bs, xs, mb)
+            if live_keys is None:
+                def loss_fn(params):
+                    return loss_builder(params, bs, xs, mb)
 
-            (loss, aux), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+                (loss, aux), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+            else:
+                live = {k: v for k, v in state.params.items()
+                        if k in live_keys}
+
+                def loss_fn(live):
+                    merged = dict(state.params)
+                    merged.update(live)
+                    return loss_builder(merged, bs, xs, mb)
+
+                (loss, aux), g_live = jax.value_and_grad(
+                    loss_fn, has_aux=True)(live)
+                grads = {k: (g_live[k] if k in g_live
+                             else jax.tree.map(jnp.zeros_like, v))
+                         for k, v in state.params.items()}
             return (aux.pop("batch_stats"), rng), (grads, aux)
 
         (bs, _), (grads, auxes) = jax.lax.scan(
@@ -114,7 +150,8 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True):
         def loss_builder(params, bstats, xs, mb):
             mv_res = jnp.concatenate([xs["mv"], xs["residual"]], axis=-1)
             logits, gen, adv_logits, bs = _forward_gan(
-                model, params, bstats, mv_res, xs["flow"], mb, True)
+                model, params, bstats, mv_res, xs["flow"], mb, True,
+                detach=detach)
             loss_cls = cross_entropy(logits, xs["label"])
             n = adv_logits.shape[0] // 2
             adv_labels = jnp.concatenate(
@@ -127,9 +164,16 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True):
                           "loss_cls": loss_cls, "loss_adv": loss_adv,
                           "top1": top1, "top5": top5, "acc_D_adv": acc_d}
 
-        grads, bstats, metrics = accumulate(state, batch, rng, loss_builder)
-        params, opt_cls = opts["cls"].update(
-            grads, state.opt_cls, state.params, lr1, wd)
+        if train_backbone:
+            grads, bstats, metrics = accumulate(state, batch, rng,
+                                                loss_builder)
+            params, opt_cls = opts["cls"].update(
+                grads, state.opt_cls, state.params, lr1, wd)
+        else:
+            grads, bstats, metrics = accumulate(
+                state, batch, rng, loss_builder,
+                live_keys=("discriminator",))
+            params, opt_cls = state.params, state.opt_cls
         params, opt_d = opts["d"].update(grads, state.opt_d, params, lr_d, wd)
         return state.replace(params=params, batch_stats=bstats,
                              opt_cls=opt_cls, opt_d=opt_d,
@@ -139,7 +183,8 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True):
         def loss_builder(params, bstats, xs, mb):
             mv_res = jnp.concatenate([xs["mv"], xs["residual"]], axis=-1)
             logits, gen, adv_logits, bs = _forward_gan(
-                model, params, bstats, mv_res, xs["flow"], mb, has_gan)
+                model, params, bstats, mv_res, xs["flow"], mb, has_gan,
+                detach=detach)
             loss_cls = cross_entropy(logits, xs["label"])
             loss_mse = jnp.mean((gen - xs["flow"]) ** 2)
             cls_w = jnp.where(drop_cls, 0.0, 1.0) if has_gan else 1.0
@@ -157,10 +202,14 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True):
                             "top5": top5})
             return loss, metrics
 
-        grads, bstats, metrics = accumulate(state, batch, rng, loss_builder)
+        # G phase only steps the generator optimizer; gradients still flow
+        # THROUGH the (constant) discriminator for the adv term.
+        live = None if train_backbone else ("gen_flow_model",)
+        grads, bstats, metrics = accumulate(state, batch, rng, loss_builder,
+                                            live_keys=live)
         new = {"batch_stats": bstats, "step": state.step + 1}
         params = state.params
-        if not has_gan:
+        if not has_gan and train_backbone:
             params, new["opt_cls"] = opts["cls"].update(
                 grads, state.opt_cls, params, lr1, wd)
         params, new["opt_gf"] = opts["gf"].update(

@@ -92,6 +92,93 @@ def test_i3d_train_steps_wiring():
         assert jax.tree.structure(new_state) == jax.tree.structure(state)
 
 
+def test_i3d_detach_gates_cls_gradient_to_generator():
+    """`detach=True` (reference --detach 1, i3d.py:573-576): the generator
+    update must not depend on the classification labels — its gradient comes
+    from the MSE (and adv) terms only.  Without detach the CE term reaches
+    the generator through the stem and the updates differ."""
+    t, hw = 4, 32
+    net = I3D(num_classes=3, modality="flow+mp4",
+              arch_estimator="DenseNetTiny")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(1, t, hw, hw, 5)), jnp.float32)
+    variables = net.init(jax.random.key(0), x, "flow+logit", False, False)
+    opts = make_i3d_optimizers(variables["params"], optim="sgd",
+                               has_gan=False)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_cls=opts["cls"].init(variables["params"]),
+                       opt_gf=opts["gf"].init(variables["params"]))
+    base = {
+        "mv": x[None, ..., :2], "residual": x[None, ..., 2:],
+        "flow": jnp.asarray(rng.normal(size=(1, 1, t, hw, hw, 2)),
+                            jnp.float32),
+    }
+    args = (jax.random.key(1), jnp.float32(1e-2), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(0.0), jnp.asarray(False))
+
+    def gen_after(detach, label):
+        _, g_step = make_i3d_steps(net, opts, adv=0.0, jit=False,
+                                   detach=detach)
+        batch = dict(base, label=jnp.asarray([[label]], jnp.int32))
+        new_state, _ = g_step(state, batch, *args)
+        return jax.tree.leaves(new_state.params["gen_flow_model"])
+
+    a = gen_after(True, 0)
+    b = gen_after(True, 2)
+    for la, lb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    c = gen_after(False, 0)
+    assert any(not np.array_equal(np.asarray(la), np.asarray(lc))
+               for la, lc in zip(a, c))
+
+
+def test_i3d_frozen_backbone_stage1_equivalence():
+    """`train_backbone=False` (stage 1 + --detach): parameters after a G
+    step must be bit-identical to the full step with lr1=0 — the backbone
+    backward it skips only fed zero-lr updates."""
+    t, hw = 4, 32
+    net = I3D(num_classes=3, modality="flow+mp4",
+              arch_estimator="DenseNetTiny", arch_d="Discriminator4")
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, t, hw, hw, 5)), jnp.float32)
+    variables = init_i3d_variables(net, jax.random.key(0), x)
+    opts = make_i3d_optimizers(variables["params"], optim="sgd",
+                               has_gan=True)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_cls=opts["cls"].init(variables["params"]),
+                       opt_gf=opts["gf"].init(variables["params"]),
+                       opt_d=opts["d"].init(variables["params"]))
+    batch = {
+        "mv": x[None, ..., :2], "residual": x[None, ..., 2:],
+        "flow": jnp.asarray(rng.normal(size=(1, 1, t, hw, hw, 2)),
+                            jnp.float32),
+        "label": jnp.asarray([[1]], jnp.int32),
+    }
+    args = (jax.random.key(1), jnp.float32(1e-2), jnp.float32(0.0),
+            jnp.float32(2e-2), jnp.float32(1e-4), jnp.asarray(True))
+
+    outs = {}
+    for tb in (True, False):
+        d_step, g_step = make_i3d_steps(net, opts, adv=1.0, jit=False,
+                                        detach=True, train_backbone=tb)
+        sd, md = d_step(state, batch, *args)
+        sg, mg = g_step(sd, batch, *args)
+        outs[tb] = (sg.params, md["loss"], mg["loss"])
+
+    for a, b in zip(jax.tree.leaves(outs[True][0]),
+                    jax.tree.leaves(outs[False][0])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(outs[True][1]) == float(outs[False][1])
+    assert float(outs[True][2]) == float(outs[False][2])
+    # and the fast path really left the backbone untouched
+    for a, b in zip(jax.tree.leaves(outs[False][0]["conv3d_1a_7x7"]),
+                    jax.tree.leaves(state.params["conv3d_1a_7x7"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_i3d_small_numeric_step():
     """One real G step on the smallest legal clip (memory/time bounded)."""

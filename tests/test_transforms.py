@@ -50,6 +50,21 @@ def test_apply_crops_flip_negates_x_channels(rng):
     np.testing.assert_allclose(flip[..., 4:], mirrored[..., 4:], atol=1e-3)
 
 
+def test_apply_crops_vertical_flip(rng):
+    """RandomVerticalFlip parity (reference image_transforms.py:202-212):
+    plain flipud, NO channel negation; composes with the mirror flip."""
+    frames = rng.random((2, 1, 32, 32, 7)).astype(np.float32) * 255
+    sh, sw, th, tw = T.crop_spec_to_scale_translate(0, 0, 32, 32, 32)
+    spec = (np.tile([[sh, sw]], (2, 1)).astype(np.float32),
+            np.tile([[th, tw]], (2, 1)).astype(np.float32))
+    base = np.asarray(T.apply_crops(frames, *spec,
+                                    np.array([False, True]), out_size=32))
+    out = np.asarray(T.apply_crops(frames, *spec, np.array([False, True]),
+                                   out_size=32,
+                                   vflips=np.array([True, True])))
+    np.testing.assert_allclose(out, base[:, :, ::-1], atol=1e-5)
+
+
 def test_center_crop_spec_matches_resize_then_crop(rng):
     img = rng.random((48, 64, 7)).astype(np.float32) * 255
     sh, sw, th, tw = T.center_crop_spec(48, 64, 32, 28)
