@@ -84,7 +84,7 @@ def measure_both():
     out = measure()
     out["bf16_samples_per_sec"] = measure(dtype=jnp.bfloat16)["value"]
     out["packed_bf16_samples_per_sec"] = measure(
-        dtype=jnp.bfloat16, packed=2)["value"]
+        dtype=jnp.bfloat16, packed=4)["value"]
     out["stage1_frozen_samples_per_sec"] = measure(
         train_backbone=False)["value"]
     return out

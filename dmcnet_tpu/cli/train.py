@@ -174,7 +174,8 @@ def main(argv=None, gan=False, input_size=224):
         else:
             place = lambda b: shard_batch(b, mesh)
     else:
-        wrap = jax.jit
+        # donate the state: params/optimizer moments update in place
+        wrap = lambda fn: jax.jit(fn, donate_argnums=(0,))
         place = lambda b: b
 
     if gan:

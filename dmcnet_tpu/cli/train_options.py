@@ -126,7 +126,11 @@ def build_parser(gan=False):
                              'that lifts MXU lane utilization of the tiny-'
                              'channel generator convs; checkpoints stay '
                              'interchangeable with the unpacked layout. '
-                             '0 = faithful layout.')
+                             '0 = faithful layout.  Measured: helps I3D '
+                             'training (s=4 best) and serving; neutral-to-'
+                             'slower for the ResNet-18 TSN train step, '
+                             'whose cost XLA already fuses well — leave 0 '
+                             'there.')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='capture an XLA trace of training steps 2-7 '
                              'of the first epoch (TensorBoard/xprof).')

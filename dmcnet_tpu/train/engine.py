@@ -140,7 +140,11 @@ def make_train_step(model, opts, *, num_segments, lr_cls_w, lr_mse_w,
         }
         return new_state, metrics
 
-    return jax.jit(step) if jit else step
+    # Donate the state: params + both optimizers' moments are rewritten every
+    # step, so XLA can update them in place instead of allocating a second
+    # copy in HBM.  Callers must follow `state, m = step(state, ...)` and not
+    # reuse the donated input (all CLIs/benches do).
+    return jax.jit(step, donate_argnums=(0,)) if jit else step
 
 
 def make_eval_step(model, *, num_segments, lr_cls_w, lr_mse_w,

@@ -118,5 +118,7 @@ def make_gan_train_steps(model, opts, *, num_segments, lr_cls_w, lr_adv_g,
         }
 
     if jit:
-        return jax.jit(d_step), jax.jit(g_step)
+        # in-place state update on device (see engine.make_train_step)
+        return (jax.jit(d_step, donate_argnums=(0,)),
+                jax.jit(g_step, donate_argnums=(0,)))
     return d_step, g_step

@@ -218,7 +218,9 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
         return state.replace(**new), metrics
 
     if jit:
-        return jax.jit(d_step), jax.jit(g_step)
+        # in-place state update on device (see engine.make_train_step)
+        return (jax.jit(d_step, donate_argnums=(0,)),
+                jax.jit(g_step, donate_argnums=(0,)))
     return d_step, g_step
 
 

@@ -27,10 +27,12 @@ def setup():
     state, opts = create_train_state(
         model, jax.random.key(0), batch, lr_cls_mult=0.01, lr_mse_mult=0.01,
         lr_d_mult=1.0)
+    # jit without donation: these tests reuse the input state across calls
+    # (the shipped jit=True steps donate it).
     d_step, g_step = make_gan_train_steps(
         model, opts, num_segments=S, lr_cls_w=1.0, lr_adv_g=1.0,
-        lr_adv_d=1.0, lr_mse_w=1.0)
-    return model, batch, state, d_step, g_step
+        lr_adv_d=1.0, lr_mse_w=1.0, jit=False)
+    return model, batch, state, jax.jit(d_step), jax.jit(g_step)
 
 
 def _moved(a, b):

@@ -51,8 +51,10 @@ def test_sharded_matches_single_device():
     args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-4),
             jnp.asarray(True))
 
+    # jit=False: the jitted step donates its input state, and `state` is
+    # reused below for the sharded run.
     single = make_train_step(model, opts, num_segments=1, lr_cls_w=1.0,
-                             lr_mse_w=1.0)
+                             lr_mse_w=1.0, jit=False)
     s1, m1 = single(state, jbatch, *args)
 
     mesh = make_mesh(jax.devices())
@@ -134,7 +136,9 @@ def test_i3d_stacked_batch_sharded_matches_single_device():
     args = (jax.random.key(2), jnp.float32(1e-3), jnp.float32(1e-3),
             jnp.float32(2e-3), jnp.float32(1e-4), jnp.asarray(False))
 
-    d_single, g_single = make_i3d_steps(net, opts, adv=1.0)
+    # jit=False: the jitted steps donate their input state, and `state` is
+    # reused below for the sharded run.
+    d_single, g_single = make_i3d_steps(net, opts, adv=1.0, jit=False)
     jbatch = jax.tree.map(jnp.asarray, batch)
     s1, _ = d_single(state, jbatch, *args)
     s1, m1 = g_single(s1, jbatch, *args)

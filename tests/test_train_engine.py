@@ -33,8 +33,10 @@ def setup():
     }
     state, opts = create_train_state(
         model, jax.random.key(0), batch, lr_cls_mult=0.01, lr_mse_mult=0.01)
-    step = make_train_step(model, opts, num_segments=S, lr_cls_w=1.0,
-                           lr_mse_w=1.0)
+    # jit without donation: these tests reuse the input state across calls
+    # (the shipped jit=True step donates it).
+    step = jax.jit(make_train_step(model, opts, num_segments=S, lr_cls_w=1.0,
+                                   lr_mse_w=1.0, jit=False))
     return model, batch, state, opts, step
 
 
