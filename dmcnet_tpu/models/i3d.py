@@ -37,8 +37,36 @@ from dmcnet_tpu.models.generators import make_estimator
 from dmcnet_tpu.models.layers import batch_norm
 
 
+class _Conv3DParams(nn.Module):
+    """Declares the exact parameter tree of `nn.Conv(name='conv3d')`
+    (kernel (kt,kh,kw,I,O) lecun_normal [+ bias zeros]) so the unrolled
+    lowering below shares checkpoints with the plain conv3d path."""
+
+    shape: Sequence[int]
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            tuple(self.shape), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.shape[-1],), jnp.float32)
+                if self.use_bias else None)
+        return kernel, bias
+
+
 class Unit3D(nn.Module):
-    """conv3d [+ BN] [+ ReLU] (reference Unit3Dpy, i3d.py:328-403)."""
+    """conv3d [+ BN] [+ ReLU] (reference Unit3Dpy, i3d.py:328-403).
+
+    `unroll_time` lowers kt>1, temporal-stride-1 convs as a sum of kt
+    temporally-shifted 2D convs on the (B*T, H, W, C) layout — same
+    parameters (checkpoint-interchangeable), same TF-SAME zero padding,
+    identical math modulo f32 summation order.  Measured on v5e: isolated
+    Conv3D ops lag this form up to 2.3x (mixed 3x3x3: 2.77 -> 1.21 ms f32),
+    but inside the full jitted I3D graph XLA's layout assignment closes the
+    gap completely (backbone fwd 12.4 ms either way; fwd+bwd 35.7 vs 36.8).
+    Default off — kept as a tested escape hatch for XLA versions/platforms
+    where Conv3D lowers badly in-graph too."""
 
     features: int
     kernel: Sequence[int] = (1, 1, 1)
@@ -47,18 +75,45 @@ class Unit3D(nn.Module):
     use_bias: bool = False
     use_bn: bool = True
     dtype: Optional[jnp.dtype] = None  # bf16 = mixed-precision conv
+    unroll_time: bool = False
 
     @nn.compact
     def __call__(self, x, train=True):
-        x = nn.Conv(self.features, tuple(self.kernel),
-                    strides=tuple(self.stride), padding="SAME",
-                    use_bias=self.use_bias, dtype=self.dtype,
-                    name="conv3d")(x)
+        kt, st = self.kernel[0], self.stride[0]
+        if self.unroll_time and kt > 1 and st == 1:
+            x = self._unrolled(x)
+        else:
+            x = nn.Conv(self.features, tuple(self.kernel),
+                        strides=tuple(self.stride), padding="SAME",
+                        use_bias=self.use_bias, dtype=self.dtype,
+                        name="conv3d")(x)
         if self.use_bn:
             x = batch_norm(train, name="batch3d")(x)
         if self.activation == "relu":
             x = nn.relu(x)
         return x
+
+    def _unrolled(self, x):
+        kt = self.kernel[0]
+        kernel, bias = _Conv3DParams(
+            tuple(self.kernel) + (x.shape[-1], self.features),
+            self.use_bias, name="conv3d")()
+        dt = self.dtype or x.dtype
+        # TF-SAME on the stride-1 temporal axis: symmetric zero pad.
+        lo = (kt - 1) // 2
+        xp = jnp.pad(x, ((0, 0), (lo, kt - 1 - lo), (0, 0), (0, 0), (0, 0)))
+        b, t = x.shape[0], x.shape[1]
+        out = None
+        for i in range(kt):
+            xi = xp[:, i:i + t].reshape((b * t,) + x.shape[2:])
+            y = jax.lax.conv_general_dilated(
+                xi.astype(dt), kernel[i].astype(dt),
+                tuple(self.stride[1:]), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = y if out is None else out + y
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out.reshape((b, t) + out.shape[1:])
 
 
 def max_pool_same(x, kernel, stride):
@@ -72,15 +127,18 @@ class Mixed(nn.Module):
 
     out_channels: Sequence[int]  # [b0, b1a, b1b, b2a, b2b, b3]
     dtype: Optional[jnp.dtype] = None
+    unroll_time: bool = False
 
     @nn.compact
     def __call__(self, x, train=True):
-        oc, dt = self.out_channels, self.dtype
+        oc, dt, ur = self.out_channels, self.dtype, self.unroll_time
         b0 = Unit3D(oc[0], (1, 1, 1), dtype=dt, name="branch_0")(x, train)
         b1 = Unit3D(oc[1], (1, 1, 1), dtype=dt, name="branch_1a")(x, train)
-        b1 = Unit3D(oc[2], (3, 3, 3), dtype=dt, name="branch_1b")(b1, train)
+        b1 = Unit3D(oc[2], (3, 3, 3), dtype=dt, unroll_time=ur,
+                    name="branch_1b")(b1, train)
         b2 = Unit3D(oc[3], (1, 1, 1), dtype=dt, name="branch_2a")(x, train)
-        b2 = Unit3D(oc[4], (3, 3, 3), dtype=dt, name="branch_2b")(b2, train)
+        b2 = Unit3D(oc[4], (3, 3, 3), dtype=dt, unroll_time=ur,
+                    name="branch_2b")(b2, train)
         b3 = max_pool_same(x, (3, 3, 3), (1, 1, 1))
         b3 = Unit3D(oc[5], (1, 1, 1), dtype=dt, name="branch_3b")(b3, train)
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
@@ -114,6 +172,9 @@ class I3D(nn.Module):
     # (params/BN stats stay f32)
     packed_gen: int = 0  # space-to-depth factor for the dense estimators'
     # exact packed train/eval path (generators._DenseEstimator)
+    unroll_time: bool = False  # alternative 3x3x3 lowering as 3 shifted 2D
+    # convs (same params/math; see Unit3D docstring — no gain in-graph on
+    # current XLA/v5e, kept as a measured escape hatch)
 
     @property
     def in_channels(self):
@@ -129,20 +190,30 @@ class I3D(nn.Module):
         self.conv3d_1a_7x7 = Unit3D(64, (7, 7, 7), (2, 2, 2),
                                     dtype=self.dtype)
         self.conv3d_2b_1x1 = Unit3D(64, (1, 1, 1), dtype=self.dtype)
-        self.conv3d_2c_3x3 = Unit3D(192, (3, 3, 3), dtype=self.dtype)
+        self.conv3d_2c_3x3 = Unit3D(192, (3, 3, 3), dtype=self.dtype,
+                                    unroll_time=self.unroll_time)
         # setup-assigned submodules take their attribute names automatically.
         # With remat, activations inside each Mixed block are recomputed in
         # the backward pass (param names unchanged).
         mixed = nn.remat(Mixed, static_argnums=(2,)) if self.remat else Mixed
-        self.mixed_3b = mixed(_MIXED_PLAN["mixed_3b"], self.dtype)
-        self.mixed_3c = mixed(_MIXED_PLAN["mixed_3c"], self.dtype)
-        self.mixed_4b = mixed(_MIXED_PLAN["mixed_4b"], self.dtype)
-        self.mixed_4c = mixed(_MIXED_PLAN["mixed_4c"], self.dtype)
-        self.mixed_4d = mixed(_MIXED_PLAN["mixed_4d"], self.dtype)
-        self.mixed_4e = mixed(_MIXED_PLAN["mixed_4e"], self.dtype)
-        self.mixed_4f = mixed(_MIXED_PLAN["mixed_4f"], self.dtype)
-        self.mixed_5b = mixed(_MIXED_PLAN["mixed_5b"], self.dtype)
-        self.mixed_5c = mixed(_MIXED_PLAN["mixed_5c"], self.dtype)
+        self.mixed_3b = mixed(_MIXED_PLAN["mixed_3b"], self.dtype,
+                               self.unroll_time)
+        self.mixed_3c = mixed(_MIXED_PLAN["mixed_3c"], self.dtype,
+                               self.unroll_time)
+        self.mixed_4b = mixed(_MIXED_PLAN["mixed_4b"], self.dtype,
+                               self.unroll_time)
+        self.mixed_4c = mixed(_MIXED_PLAN["mixed_4c"], self.dtype,
+                               self.unroll_time)
+        self.mixed_4d = mixed(_MIXED_PLAN["mixed_4d"], self.dtype,
+                               self.unroll_time)
+        self.mixed_4e = mixed(_MIXED_PLAN["mixed_4e"], self.dtype,
+                               self.unroll_time)
+        self.mixed_4f = mixed(_MIXED_PLAN["mixed_4f"], self.dtype,
+                               self.unroll_time)
+        self.mixed_5b = mixed(_MIXED_PLAN["mixed_5b"], self.dtype,
+                               self.unroll_time)
+        self.mixed_5c = mixed(_MIXED_PLAN["mixed_5c"], self.dtype,
+                               self.unroll_time)
         self.conv3d_0c_1x1 = Unit3D(400, (1, 1, 1), activation=None,
                                     use_bias=True, use_bn=False)
         self.dropout = nn.Dropout(self.dropout_prob)

@@ -210,3 +210,24 @@ def test_i3d_small_numeric_step():
             jax.tree.leaves(new_state.params["gen_flow_model"]),
             jax.tree.leaves(state.params["gen_flow_model"])))
     assert moved
+
+
+def test_unroll_time_matches_conv3d():
+    """The unroll_time lowering (3x3x3 as 3 shifted 2D convs, Unit3D._unrolled)
+    shares the conv3d param tree exactly and matches its forward numerics."""
+    import jax.tree_util as jtu
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 8, 64, 64, 2)), jnp.float32)
+    plain = I3D(num_classes=5, modality="flow")
+    unrolled = I3D(num_classes=5, modality="flow", unroll_time=True)
+    v = init_i3d_variables(plain, jax.random.key(0), x)
+    v2 = init_i3d_variables(unrolled, jax.random.key(0), x)
+    s1 = {jtu.keystr(k): (tuple(a.shape), str(a.dtype))
+          for k, a in jtu.tree_leaves_with_path(v["params"])}
+    s2 = {jtu.keystr(k): (tuple(a.shape), str(a.dtype))
+          for k, a in jtu.tree_leaves_with_path(v2["params"])}
+    assert s1 == s2
+    o1 = plain.apply(v, x, "logit", False, False)
+    o2 = unrolled.apply(v, x, "logit", False, False)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
