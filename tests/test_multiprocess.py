@@ -1,0 +1,80 @@
+"""True 2-process data parallelism: the dmcnet train step over a mesh
+spanning two OS processes (gloo CPU collectives) must match the
+single-process result (same global batch, same keys; tolerance covers
+cross-process all-reduce summation order).
+
+This is the real multi-host path of cli/train.py (--dist-* flags):
+jax.distributed.initialize + per-host global_batch_from_local shards +
+XLA cross-process collectives. Reference: DDP vestige,
+code/dmcnet_I3D/train_model.py:117-120.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_train_step_matches_single(tmp_path):
+    coord = f"127.0.0.1:{_free_port()}"
+    out = str(tmp_path / "dist.npz")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    repo = os.path.dirname(HERE)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    workers = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "dist_worker.py"),
+             str(pid), coord, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)
+    ]
+    logs = [w.communicate(timeout=540)[0].decode() for w in workers]
+    for w, log in zip(workers, logs):
+        assert w.returncode == 0, log[-3000:]
+    got = np.load(out)
+
+    # single-process reference: same model/batch/keys, no mesh
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.train.engine import create_train_state, make_train_step
+
+    model = DMCNet(num_class=5, num_segments=1,
+                   arch_estimator="DenseNetTiny")
+    rng = np.random.default_rng(0)
+    b, hw = 4, 32
+    batch = {
+        "mv": jnp.asarray(rng.normal(size=(b, 1, hw, hw, 2)), jnp.float32),
+        "residual": jnp.asarray(rng.normal(size=(b, 1, hw, hw, 3)),
+                                jnp.float32),
+        "flow": jnp.asarray(rng.normal(size=(b, 1, hw, hw, 2)), jnp.float32),
+        "label": jnp.asarray(np.arange(b, dtype=np.int32) % 5),
+    }
+    state, opts = create_train_state(model, jax.random.key(0), batch,
+                                     lr_cls_mult=0.01, lr_mse_mult=0.01)
+    step = make_train_step(model, opts, num_segments=1, lr_cls_w=1.0,
+                           lr_mse_w=1.0, jit=False)
+    args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-4),
+            jnp.asarray(True))
+    for _ in range(2):
+        state, metrics = step(state, batch, *args)
+
+    np.testing.assert_allclose(float(got["loss"]), float(metrics["loss"]),
+                               rtol=1e-5)
+    leaves = jax.tree.leaves(state.params)
+    assert len(leaves) == len([k for k in got.files if k != "loss"])
+    for i, ref in enumerate(leaves):
+        np.testing.assert_allclose(got[f"p{i}"], np.asarray(ref), atol=5e-5,
+                                   err_msg=f"param leaf {i}")
