@@ -115,3 +115,40 @@ def test_info_cache(items, tmp_path):
                            modality="mv", cached_info_path=str(info))
     assert [i.num_frames for i in ds2.items] == \
         [i.num_frames for i in ds1.items]
+
+
+def test_iterator_factory_creat(tmp_path):
+    """`creat` builds train/val datasets from the reference list layout
+    (iterator_factory.py:184-202, minus hardcoded cluster paths): lists at
+    <data_root>/raw/list_cvt/<name>_split<k>_{train,test}.txt, missing
+    videos tolerated, num_classes registry."""
+    from dmcnet_tpu.data.iterator_factory import creat, dataset_num_classes
+
+    rng = np.random.default_rng(7)
+    videos = tmp_path / "videos"
+    videos.mkdir()
+    lists = tmp_path / "raw" / "list_cvt"
+    lists.mkdir(parents=True)
+    lines = []
+    for v in range(3):
+        frames = (rng.integers(0, 256, size=(20, 64, 80, 3)) // 4 * 4
+                  ).astype(np.uint8)
+        encode_mpeg4(videos / f"v{v}.mp4", frames, gop_size=12,
+                     bit_rate=1_000_000)
+        lines.append(f"{v} {v % 2} v{v}.avi")
+    lines.append("9 0 missing.avi")  # tolerated: skipped at item build
+    (lists / "hmdb51_split1_train.txt").write_text("\n".join(lines) + "\n")
+    (lists / "hmdb51_split1_test.txt").write_text(lines[0] + "\n")
+
+    train, val = creat("HMDB51", str(tmp_path), str(videos),
+                       clip_length=6, modality="mv", mv_minmaxnorm=True)
+    assert len(train) == 3 and len(val) == 1  # missing video dropped
+    clip, label = train[1]
+    assert clip.shape == (6, 64, 80, 2) and clip.dtype == np.uint8
+    assert label == 1
+    clip, _ = val[0]
+    assert clip.shape == (6, 64, 80, 2)
+    assert dataset_num_classes("HMDB51") == 51
+    assert dataset_num_classes("ucf101") == 101
+    with pytest.raises(ValueError):
+        dataset_num_classes("kinetics700")
