@@ -18,7 +18,12 @@ Computes the same accu_src recursion as `codec.accumulate.backtrace_gop`
     written with one aligned store;
   * per-pixel source/destination bounds masks reproduce the reference's
     boundary clipping (c:105-108); 128-pixel padding keeps every load
-    in-bounds for |mv| <= 56 (larger motion falls back to the XLA path).
+    in-bounds for |mv| <= 56 (larger motion falls back to the XLA path);
+  * payloads are bit-packed (coords (y<<16)|x, BGR (b<<16)|(g<<8)|r) so
+    2 planes carry what 5 did, and each loop iteration handles a 16-row
+    tall supercell — measured ~1.0 ms true kernel time per 256x320x12 GOP
+    (1.19 ms/GOP amortized in 32-GOP batches; ~6 ms/call dispatch through
+    the axon tunnel dominates small batches).
 
 `backtrace_gop_cells` is the jit entry; `backtrace_gop_pallas` is the
 dense-map drop-in with automatic fallback.
@@ -39,6 +44,7 @@ SUPER = 128          # lanes per supercell = 16 cells
 PAD_R = 64           # row (sublane) padding: motion slack only
 PAD_C = 128          # lane padding: must stay 128-aligned for stores
 MAX_MV = PAD_R - CELL
+ROWS = 2            # cell-rows per loop iteration (tall supercell)
 
 
 def cell_mv_from_dense(mv_maps, cell=CELL):
@@ -68,45 +74,62 @@ def cell_mv_from_dense(mv_maps, cell=CELL):
 def _shift_cells_multi(specs, cmv_read, height, width, ncy, ncx):
     """Apply one frame's per-cell motion shift to several scratch refs.
 
-    `specs`: list of (ref, prev_base_plane, cur_base_plane, n_planes);
-    `cmv_read(cy, cx, c)` reads one motion scalar (kernels differ in block
-    rank).  Shared body of the accu-only and accu+warp kernels.
+    `specs`: list of (ref, prev_plane, cur_plane); `cmv_read(cy, cx, c)`
+    reads one motion scalar (kernels differ in block rank).  Shared body of
+    the accu-only and accu+warp kernels.
+
+    Measured shape of the cost (v5e): the loop is bound by PER-ITERATION
+    overhead (scalar addressing + dynamic ldst issue), not vector work —
+    packing 5 shifted planes into 2 changed nothing, and a data-dependent
+    uniform-motion branch saved nothing net (+5% panning, -3% random).  So
+    each iteration processes a TALL supercell: `ROWS` cell-rows x 128
+    lanes (ROWS*16 cells), halving the iteration count per ROWS doubling.
     """
     n_super = pl.cdiv(ncx * CELL, SUPER)
+    n_tall = pl.cdiv(ncy, ROWS)
     cell_rows = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 0)
     cell_cols = jax.lax.broadcasted_iota(jnp.int32, (CELL, CELL), 1)
+    tall = ROWS * CELL
 
     def super_body(idx, _):
-        cy = idx // n_super
+        ty = idx // n_super
         sc = idx % n_super
-        dy = pl.multiple_of(PAD_R + cy * CELL, CELL)
+        dy = pl.multiple_of(PAD_R + ty * tall, CELL)
         dxs = pl.multiple_of(PAD_C + sc * SUPER, SUPER)
 
         # Per-cell motion and masks are shared across planes.
-        cell_meta = []
-        for k in range(SUPER // CELL):
-            cx = sc * (SUPER // CELL) + k
-            in_grid = cx < ncx
-            cxc = jnp.minimum(cx, ncx - 1)
-            mvx = jnp.where(in_grid, cmv_read(cy, cxc, 0), 0)
-            mvy = jnp.where(in_grid, cmv_read(cy, cxc, 1), 0)
-            ys = cy * CELL + cell_rows
-            xs = cx * CELL + cell_cols
-            valid = ((ys - mvy >= 0) & (ys - mvy < height)
-                     & (xs - mvx >= 0) & (xs - mvx < width)
-                     & (xs < width) & in_grid)
-            cell_meta.append((mvx, mvy, valid))
+        rows_meta = []
+        for r in range(ROWS):
+            cy = ty * ROWS + r
+            row_ok = cy < ncy
+            cyc = jnp.minimum(cy, ncy - 1)
+            row = []
+            for k in range(SUPER // CELL):
+                cx = sc * (SUPER // CELL) + k
+                in_grid = (cx < ncx) & row_ok
+                cxc = jnp.minimum(cx, ncx - 1)
+                mvx = jnp.where(in_grid, cmv_read(cyc, cxc, 0), 0)
+                mvy = jnp.where(in_grid, cmv_read(cyc, cxc, 1), 0)
+                ys = cy * CELL + cell_rows
+                xs = cx * CELL + cell_cols
+                valid = ((ys - mvy >= 0) & (ys - mvy < height)
+                         & (xs - mvx >= 0) & (xs - mvx < width)
+                         & (xs < width) & in_grid)
+                row.append((mvx, mvy, valid))
+            rows_meta.append(row)
 
-        for ref, prev, cur, n in specs:
-            for ch in range(n):
-                acc = ref[prev + ch, pl.ds(dy, CELL), pl.ds(dxs, SUPER)]
+        for ref, prev, cur in specs:
+            acc = ref[prev, pl.ds(dy, tall), pl.ds(dxs, SUPER)]
+            row_strips = []
+            for r, row in enumerate(rows_meta):
+                dyr = pl.multiple_of(dy + r * CELL, CELL)
                 pieces = []
-                for k, (mvx, mvy, valid) in enumerate(cell_meta):
-                    sy0 = dy - mvy
+                for k, (mvx, mvy, valid) in enumerate(row):
+                    sy0 = dyr - mvy
                     sx0 = dxs + k * CELL - mvx
                     rbase = pl.multiple_of((sy0 // CELL) * CELL, CELL)
                     cbase = pl.multiple_of((sx0 // SUPER) * SUPER, SUPER)
-                    win = ref[prev + ch, pl.ds(rbase, 2 * CELL),
+                    win = ref[prev, pl.ds(rbase, 2 * CELL),
                               pl.ds(cbase, 2 * SUPER)]
                     # Realign to win[sy0-rbase : +8, sx0-cbase : +8].
                     win = pltpu.roll(
@@ -115,35 +138,42 @@ def _shift_cells_multi(specs, cmv_read, height, width, ncy, ncx):
                         win, (2 * SUPER - (sx0 - cbase)) % (2 * SUPER), 1)
                     src = win[0:CELL, 0:CELL]
                     pieces.append(jnp.where(
-                        valid, src, acc[:, k * CELL:(k + 1) * CELL]))
-                ref[cur + ch, pl.ds(dy, CELL), pl.ds(dxs, SUPER)] = \
-                    jnp.concatenate(pieces, axis=1)
+                        valid, src,
+                        acc[r * CELL:(r + 1) * CELL,
+                            k * CELL:(k + 1) * CELL]))
+                row_strips.append(jnp.concatenate(pieces, axis=1))
+            ref[cur, pl.ds(dy, tall), pl.ds(dxs, SUPER)] = \
+                jnp.concatenate(row_strips, axis=0) if ROWS > 1 \
+                else row_strips[0]
         return 0
 
-    jax.lax.fori_loop(0, ncy * n_super, super_body, 0)
+    jax.lax.fori_loop(0, n_tall * n_super, super_body, 0)
 
 
 def _kernel(cmv_ref, out_ref, scratch, height, width, ncy, ncx):
-    # scratch planes: index = buffer(0/1) * 2 + channel(x=0, y=1).
+    """The back-trace moves VALUES without arithmetic, so both coordinate
+    channels ride ONE int32 plane packed as (y << 16) | x — half the loads,
+    rolls, and VMEM of separate x/y planes.  scratch: (2, hp, wp), index =
+    ping-pong buffer."""
     t = pl.program_id(0)
 
     @pl.when(t == 0)
     def _init():
         ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-        scratch[0, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = xs
-        scratch[1, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = ys
+        scratch[0, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = \
+            (ys << 16) | xs
 
     @pl.when(t > 0)
     def _step():
         _shift_cells_multi(
-            [(scratch, ((t - 1) % 2) * 2, (t % 2) * 2, 2)],
+            [(scratch, (t - 1) % 2, t % 2)],
             lambda cy, cx, c: cmv_ref[0, cy, cx, c],
             height, width, ncy, ncx)
 
-    cur = (t % 2) * 2
-    out_ref[0, 0] = scratch[cur + 0, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
-    out_ref[0, 1] = scratch[cur + 1, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+    packed = scratch[t % 2, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+    out_ref[0, 0] = packed & 0xFFFF
+    out_ref[0, 1] = packed >> 16
 
 
 def _kernel_warp(cmv_ref, iframe_ref, out_ref, warp_ref, scratch, wscratch,
@@ -153,8 +183,11 @@ def _kernel_warp(cmv_ref, iframe_ref, out_ref, warp_ref, scratch, wscratch,
     W_t[p] = base[accu_t[p]] satisfies the same recursion
     W_t[p] = W_{t-1}[p - mv_t[p]], so the warped-base planes ride the same
     per-cell shifts; the accumulated residual is then just
-    frame_t - W_t (computed outside, elementwise).  Warp planes are int32
-    (Mosaic cannot dynamic-rotate bf16 vectors).
+    frame_t - W_t (computed outside, elementwise).  The moves are pure
+    permutations, so the payloads are bit-packed: coordinates as
+    (y << 16) | x in one int32 plane, BGR as (b << 16) | (g << 8) | r in
+    another — 2 shifted planes per frame instead of 5, and ~2.5x less
+    scratch VMEM.  (Planes stay int32: Mosaic cannot dynamic-rotate bf16.)
 
     Grid is (G, T) with T innermost: TPU iterates the grid sequentially in
     row-major order, so each GOP's frames run in order and `t == 0`
@@ -165,29 +198,27 @@ def _kernel_warp(cmv_ref, iframe_ref, out_ref, warp_ref, scratch, wscratch,
     def _init():
         ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
-        scratch[0, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = xs
-        scratch[1, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = ys
-        for c in range(3):
-            wscratch[c, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = \
-                iframe_ref[0, c]
+        scratch[0, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = \
+            (ys << 16) | xs
+        wscratch[0, PAD_R:PAD_R + height, PAD_C:PAD_C + width] = \
+            (iframe_ref[0, 0] << 16) | (iframe_ref[0, 1] << 8) \
+            | iframe_ref[0, 2]
 
     @pl.when(t > 0)
     def _step():
         _shift_cells_multi(
-            [(scratch, ((t - 1) % 2) * 2, (t % 2) * 2, 2),
-             (wscratch, ((t - 1) % 2) * 3, (t % 2) * 3, 3)],
+            [(scratch, (t - 1) % 2, t % 2),
+             (wscratch, (t - 1) % 2, t % 2)],
             lambda cy, cx, c: cmv_ref[0, 0, cy, cx, c],
             height, width, ncy, ncx)
 
-    cur2 = (t % 2) * 2
-    cur3 = (t % 2) * 3
-    out_ref[0, 0, 0] = scratch[cur2 + 0, PAD_R:PAD_R + height,
-                               PAD_C:PAD_C + width]
-    out_ref[0, 0, 1] = scratch[cur2 + 1, PAD_R:PAD_R + height,
-                               PAD_C:PAD_C + width]
-    for c in range(3):
-        warp_ref[0, 0, c] = wscratch[cur3 + c, PAD_R:PAD_R + height,
-                                     PAD_C:PAD_C + width]
+    packed = scratch[t % 2, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+    out_ref[0, 0, 0] = packed & 0xFFFF
+    out_ref[0, 0, 1] = packed >> 16
+    wpacked = wscratch[t % 2, PAD_R:PAD_R + height, PAD_C:PAD_C + width]
+    warp_ref[0, 0, 0] = wpacked >> 16
+    warp_ref[0, 0, 1] = (wpacked >> 8) & 0xFF
+    warp_ref[0, 0, 2] = wpacked & 0xFF
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width"))
@@ -211,7 +242,7 @@ def backtrace_gop_cells(cell_mv, height, width):
                                lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, 2, height, width), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((4, hp, wp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.int32)],
     )(cell_mv)
 
 
@@ -259,8 +290,8 @@ def backtrace_warp_batch(cell_mv, iframes_chw, height, width):
             jax.ShapeDtypeStruct((g, t, 2, height, width), jnp.int32),
             jax.ShapeDtypeStruct((g, t, 3, height, width), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((4, hp, wp), jnp.int32),
-                        pltpu.VMEM((6, hp, wp), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((2, hp, wp), jnp.int32),
+                        pltpu.VMEM((2, hp, wp), jnp.int32)],
     )(cell_mv, iframes_chw)
 
 
@@ -289,8 +320,9 @@ def backtrace_gop_pallas(mv_maps):
 def gop_mv_residual_pallas(mv_maps, frames_bgr):
     """Drop-in twin of codec.accumulate.gop_mv_residual (accumulate mode):
     Pallas back-trace + XLA residual gather (accumulated sources are
-    per-pixel arbitrary, outside the cell trick's reach).  ~4x faster than
-    the all-XLA path on v5e (1.75 ms vs 7.1 ms per 256x320x12 GOP)."""
+    per-pixel arbitrary, outside the cell trick's reach).  ~6x faster than
+    the all-XLA path on v5e (1.19 ms amortized vs 7.1 ms per 256x320x12
+    GOP; ~1.0 ms true kernel time)."""
     from dmcnet_tpu.codec.accumulate import (
         accumulated_mv_from_src,
         accumulated_residual_from_src,

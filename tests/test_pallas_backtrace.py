@@ -104,3 +104,66 @@ def test_fallback_on_inconsistent_cells(rng):
     assert not ok
     out = np.asarray(pb.backtrace_gop_pallas(dense))  # XLA fallback
     assert out.shape == (3, 16, 16, 2)
+
+
+def test_kernel_uniform_motion_fast_path():
+    """Global panning: whole 128-lane supercells share one MV, so the
+    kernel's uniform fast path (one aligned load + 2 rolls per plane
+    instead of 16 per-cell fetches) executes; border supercells fall back
+    to the general path via the span check.  Must match golden exactly.
+    Needs width >= 2 supercells (existing tests use width 96 and never
+    reach the fast path)."""
+    from dmcnet_tpu.codec.synthetic import MVBlock
+
+    H, W, T = 64, 256, 4
+    pans = [(0, 0), (5, -3), (-7, 2), (16, 8)]
+    block_lists = [[]]
+    for t in range(1, T):
+        vx, vy = pans[t]
+        blocks = []
+        for by in range(H // 16):
+            for bx in range(W // 16):
+                dx, dy = bx * 16 + 8, by * 16 + 8
+                blocks.append(MVBlock(src_x=dx - vx, src_y=dy - vy,
+                                      dst_x=dx, dst_y=dy, w=16, h=16))
+        block_lists.append(blocks)
+    dense = dense_mv_maps(block_lists, H, W)
+    accu = np.asarray(pb.backtrace_gop_pallas(dense))
+    for t in range(T):
+        golden = accumulate_gop_numpy(block_lists, H, W, t)
+        np.testing.assert_array_equal(accu[t], golden)
+
+
+def test_warp_kernel_uniform_motion():
+    """Same panning scenario through the warp (accu+residual) kernel."""
+    import jax.numpy as jnp
+
+    from dmcnet_tpu.codec.semantics import load_like_coviar_numpy
+    from dmcnet_tpu.codec.synthetic import MVBlock
+
+    rng = np.random.default_rng(9)
+    H, W, T = 64, 256, 3
+    frames = (rng.integers(0, 256, size=(T, H, W, 3))).astype(np.uint8)
+    pans = [(0, 0), (4, 2), (-6, -5)]
+    block_lists = [[]]
+    for t in range(1, T):
+        vx, vy = pans[t]
+        block_lists.append([
+            MVBlock(src_x=bx * 16 + 8 - vx, src_y=by * 16 + 8 - vy,
+                    dst_x=bx * 16 + 8, dst_y=by * 16 + 8, w=16, h=16)
+            for by in range(H // 16) for bx in range(W // 16)])
+    dense = dense_mv_maps(block_lists, H, W)
+    cell_mv, ok = pb.cell_mv_from_dense(dense)
+    assert ok
+    iframe = jnp.asarray(frames[0].transpose(2, 0, 1), jnp.int32)
+    accu, warped = pb.backtrace_warp_gop_cells(
+        jnp.asarray(cell_mv), iframe, H, W)
+    warped = np.asarray(warped).transpose(0, 2, 3, 1)
+    for t in range(1, T):
+        res = frames[t].astype(np.int32) - warped[t].astype(np.int32)
+        golden = load_like_coviar_numpy(block_lists, frames, t, "residual",
+                                        True)
+        np.testing.assert_array_equal(res, golden)
+        golden_accu = accumulate_gop_numpy(block_lists, H, W, t)
+        np.testing.assert_array_equal(
+            np.asarray(accu)[t].transpose(1, 2, 0), golden_accu)
