@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(n_gops=8, gop_len=12, height=256, width=320, crop=224):
+def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
     from dmcnet_tpu.codec.synthetic import dense_mv_maps, synthetic_gop
     from dmcnet_tpu.models import make_estimator, resnet18
     from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator
@@ -101,7 +101,7 @@ def measure(n_gops=8, gop_len=12, height=256, width=320, crop=224):
         "value": round(clips / dt, 1),
         "unit": "clips/s",
         "note": "codec backtrace + residual + normalize + crop + DMC + "
-                "ResNet-18, fully on device",
+                f"ResNet-18, fully on device ({n_gops}-GOP batches)",
     }
 
 
