@@ -190,9 +190,18 @@ def main(argv=None, gan=False, input_size=224):
             model, opts, num_segments=args.num_segments,
             lr_cls_w=args.lr_cls, lr_mse_w=args.lr_mse,
             loss_mse=args.loss_mse, jit=False))
-    eval_step = make_eval_step(model, num_segments=args.num_segments,
-                               lr_cls_w=args.lr_cls, lr_mse_w=args.lr_mse,
-                               loss_mse=args.loss_mse)
+    raw_eval = make_eval_step(model, num_segments=args.num_segments,
+                              lr_cls_w=args.lr_cls, lr_mse_w=args.lr_mse,
+                              loss_mse=args.loss_mse, jit=not use_mesh)
+    if use_mesh:
+        from dmcnet_tpu.parallel import make_sharded_eval_step
+        eval_step = make_sharded_eval_step(raw_eval, mesh)
+        # multi-host: each process assembles only its rows of each padded
+        # eval batch and contributes them via global_batch_from_local
+        eval_place = place if multi_host else None
+    else:
+        eval_step = raw_eval
+        eval_place = None
 
     batches_per_epoch = max(1, len(train_ds) // args.batch_size)
     rng = jax.random.key(1)
@@ -224,7 +233,8 @@ def main(argv=None, gan=False, input_size=224):
         for i, raw in enumerate(loader):
             if args.profile_dir and epoch == start_epoch:
                 # steps 2-7: past compile, short enough to view in xprof
-                if i == 2:
+                # (epochs shorter than 3 batches trace from step 0)
+                if i == min(2, batches_per_epoch - 1):
                     jax.profiler.start_trace(args.profile_dir)
                     profiling = True
                 elif i == 8 and profiling:
@@ -280,7 +290,7 @@ def main(argv=None, gan=False, input_size=224):
 
         if epoch % args.eval_freq == 0 or epoch == args.epochs - 1:
             prec1 = validate(val_ds, val_asm, eval_step, state, args,
-                             aug_kwargs)
+                             aug_kwargs, place=eval_place)
             is_best = prec1 > best_prec1
             best_prec1 = max(prec1, best_prec1)
             if is_best or epoch % SAVE_FREQ == 0:
@@ -302,20 +312,33 @@ def main(argv=None, gan=False, input_size=224):
     return best_prec1
 
 
-def validate(val_ds, val_asm, eval_step, state, args, aug_kwargs):
+def validate(val_ds, val_asm, eval_step, state, args, aug_kwargs,
+             place=None):
     """Reference validate() (train.py:292-369); the ragged final batch is
     padded to the fixed batch size with a 0/1 weight mask (one XLA compile
-    total, exact masked means)."""
+    total, exact masked means).  `place` (multi-host): assembles this
+    process's rows of each batch into the global sharded array."""
     top1 = AverageMeter()
     losses = AverageMeter()
     n = len(val_ds)
     bs = args.batch_size
     from dmcnet_tpu.data.loader import pad_indices
+    if place is not None:
+        from dmcnet_tpu.parallel.multihost import local_shard_indices
+        rows = list(local_shard_indices(bs))
     for start in range(0, n, bs):
         idx, n_valid = pad_indices(start, min(start + bs, n), bs)
-        batch = augment_eval_batch(val_asm.eval_batch(idx), **aug_kwargs)
-        batch["weight"] = jnp.asarray(
-            (np.arange(bs) < n_valid).astype(np.float32))
+        weight = (np.arange(bs) < n_valid).astype(np.float32)
+        if place is not None:
+            local_idx = [idx[j] for j in rows]
+            batch = augment_eval_batch(val_asm.eval_batch(local_idx),
+                                       **aug_kwargs)
+            batch = {k: np.asarray(v) for k, v in batch.items()}
+            batch["weight"] = weight[rows]
+            batch = place(batch)
+        else:
+            batch = augment_eval_batch(val_asm.eval_batch(idx), **aug_kwargs)
+            batch["weight"] = jnp.asarray(weight)
         m = eval_step(state, batch)
         top1.update(float(m["top1"]), n_valid)
         losses.update(float(m["loss"]), n_valid)

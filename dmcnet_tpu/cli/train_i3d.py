@@ -249,7 +249,12 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         g_step = make_sharded_train_step(g_step, mesh, batch_axis=1)
         return replicate_state(state, mesh), d_step, g_step
 
-    state, d_step, g_step = fresh_state(params, bstats, stage2=False)
+    # Resuming at/after epoch_thre: build the stage-2 optimizers FIRST so
+    # the checkpoint's moments restore into them — rebuilding after the
+    # load would silently zero the restored optimizer state.
+    resume_stage2 = (args.modality == "flow+mp4" and args.resume_epoch >= 0
+                     and args.resume_epoch >= args.epoch_thre)
+    state, d_step, g_step = fresh_state(params, bstats, stage2=resume_stage2)
     if args.resume_epoch >= 0:
         ckpt = f"{args.model_prefix}_ep-{args.resume_epoch:04d}.pth"
         if args.ckpt_backend == "orbax":
@@ -279,7 +284,7 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     best_top1 = -1.0
     os.makedirs(args.score_dir, exist_ok=True)
     os.makedirs(args.model_dir, exist_ok=True)
-    switched = False
+    switched = resume_stage2
 
     for epoch in range(max(args.resume_epoch, 0), args.end_epoch):
         # >= so a resume landing past epoch_thre still applies the stage-2

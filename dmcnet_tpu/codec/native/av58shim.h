@@ -49,8 +49,18 @@ static inline int avcodec_decode_video2(AVCodecContext *avctx, AVFrame *frame,
     *got_picture_ptr = 0;
     ret = avcodec_send_packet(avctx,
                               (avpkt && avpkt->size) ? avpkt : NULL);
-    if (ret < 0 && ret != AVERROR(EAGAIN) && ret != AVERROR_EOF)
+    if (ret == AVERROR(EAGAIN)) {
+        if (avpkt && avpkt->size)
+            /* Decoder buffered a frame without consuming our packet —
+             * the no-delay assumption above is violated.  Fail loudly
+             * rather than report the packet consumed and silently skip
+             * it (that would desynchronize the A/B parity harness by
+             * one frame). */
+            return ret;
+        /* EAGAIN on a flush send just means frames are pending. */
+    } else if (ret < 0 && ret != AVERROR_EOF) {
         return ret;
+    }
     ret = avcodec_receive_frame(avctx, frame);
     if (ret == 0) {
         *got_picture_ptr = 1;

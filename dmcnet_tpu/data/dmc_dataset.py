@@ -63,6 +63,7 @@ class GopCache:
         self._max_bytes = max_bytes
         self._bytes = 0
         self._lock = threading.Lock()
+        self._decoding = {}  # key -> Lock: serialize same-GOP misses
 
     @property
     def nbytes(self):
@@ -74,6 +75,23 @@ class GopCache:
             if key in self._items:
                 self._items.move_to_end(key)
                 return self._items[key]
+            # Loader threads missing on the SAME GOP would each redo the
+            # full native decode (the dominant host cost); serialize per
+            # key so one thread decodes and the rest pick up the entry.
+            gate = self._decoding.setdefault(key, threading.Lock())
+        with gate:
+            with self._lock:
+                if key in self._items:
+                    self._items.move_to_end(key)
+                    self._decoding.pop(key, None)
+                    return self._items[key]
+            value = self._decode(reader, gop, accumulate, minmax_bound)
+        with self._lock:
+            self._decoding.pop(key, None)
+            self._insert(key, value)
+        return value
+
+    def _decode(self, reader, gop, accumulate, minmax_bound):
         frames, mv_maps = reader.decode_gop(gop)
         try:
             from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_u8
@@ -83,17 +101,18 @@ class GopCache:
             mv, res = gop_mv_residual_numpy(mv_maps, frames, accumulate)
             mv_u8 = _encode_u8(mv, minmax_bound)
             res_u8 = _encode_u8(res)
-        value = (frames, mv_u8, res_u8)
-        nbytes = frames.nbytes + mv_u8.nbytes + res_u8.nbytes
-        with self._lock:
-            if key not in self._items:
-                self._items[key] = value
-                self._bytes += nbytes
-            self._items.move_to_end(key)
-            while self._bytes > self._max_bytes and len(self._items) > 1:
-                _, (f, m, r) = self._items.popitem(last=False)
-                self._bytes -= f.nbytes + m.nbytes + r.nbytes
-        return value
+        return (frames, mv_u8, res_u8)
+
+    def _insert(self, key, value):
+        """Caller holds self._lock."""
+        frames, mv_u8, res_u8 = value
+        if key not in self._items:
+            self._items[key] = value
+            self._bytes += frames.nbytes + mv_u8.nbytes + res_u8.nbytes
+        self._items.move_to_end(key)
+        while self._bytes > self._max_bytes and len(self._items) > 1:
+            _, (f, m, r) = self._items.popitem(last=False)
+            self._bytes -= f.nbytes + m.nbytes + r.nbytes
 
 
 class CoviarDataset:
@@ -171,6 +190,13 @@ class CoviarDataset:
             mv_u8 = np.full((1, h, w, 2), 128, np.uint8)
             res_u8 = np.full((1, h, w, 3), 128, np.uint8)
             gop_index, gop_pos = 0, 0
+            # flow jpgs may exist at the video's true resolution, which
+            # would no longer match the fallback planes — the sample is
+            # synthetic anyway, so neutral-fill the flow too.
+            flow = np.full((h, w, 2), 128, np.uint8)
+            mid = mv_u8[0] if self.representation != "iframe" \
+                else frames[0][..., ::-1]
+            return np.concatenate([flow, mid, res_u8[0]], axis=-1)
         gop_pos = min(gop_pos, len(frames) - 1)
 
         flow_idx = gop_index * self.gop + gop_pos + 1  # 1-based jpgs

@@ -64,3 +64,20 @@ def make_sharded_train_step(step_fn, mesh, axis_name="data", batch_axis=0):
         return jax.lax.with_sharding_constraint(state, repl), metrics
 
     return jax.jit(wrapped, donate_argnums=(0,))
+
+
+def make_sharded_eval_step(eval_fn, mesh, axis_name="data", batch_axis=0):
+    """Constrain an eval step to (replicated state, data-sharded batch).
+
+    Unlike the train wrapper, no donation: callers reuse the state across
+    eval batches.  Required in multi-host runs, where the replicated state
+    spans every process and a plain local jit would reject it."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, _batch_spec(axis_name, batch_axis))
+
+    def wrapped(state, batch):
+        state = jax.lax.with_sharding_constraint(state, repl)
+        batch = jax.lax.with_sharding_constraint(batch, data)
+        return eval_fn(state, batch)
+
+    return jax.jit(wrapped)

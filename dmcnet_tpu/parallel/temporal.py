@@ -10,9 +10,10 @@ code exists — exactly the recipe SURVEY.md §2.5 prescribes for scaling
 clip length.
 
 Numerically exact vs single-device (tested on the 8-device CPU mesh).
-The clip length must divide the mesh size; callers pick the largest device
-count that divides T (cli/evaluate_video_i3d.py does this automatically —
-e.g. 250-frame reference eval clips shard over 5 of 8 chips).
+The mesh size must divide the clip length T; callers pick the largest
+device count that divides T (cli/evaluate_video_i3d.py does this
+automatically — e.g. 250-frame reference eval clips shard over 5 of 8
+chips).
 """
 
 from __future__ import annotations

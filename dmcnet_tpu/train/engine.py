@@ -148,16 +148,16 @@ def make_train_step(model, opts, *, num_segments, lr_cls_w, lr_mse_w,
 
 
 def make_eval_step(model, *, num_segments, lr_cls_w, lr_mse_w,
-                   loss_mse="MSELoss"):
+                   loss_mse="MSELoss", jit=True):
     """Validation step (reference validate(), train.py:292-369).
 
     An optional per-sample 0/1 `batch['weight']` masks padded rows: callers
     pad the ragged final batch to a fixed size (one XLA compile total) and
-    the returned means are exact over the valid rows only.
+    the returned means are exact over the valid rows only.  Pass jit=False
+    for sharded wrappers (parallel.make_sharded_eval_step).
     """
     rec_loss = reconstruction_loss(loss_mse)
 
-    @jax.jit
     def step(state, batch):
         flow = batch["flow"].reshape((-1,) + batch["flow"].shape[-3:])
         labels = batch["label"]
@@ -197,7 +197,7 @@ def make_eval_step(model, *, num_segments, lr_cls_w, lr_mse_w,
             "top1": top1, "top5": top5, "logits": consensus,
         }
 
-    return step
+    return jax.jit(step) if jit else step
 
 
 def topk_correct(logits, labels, ks=(1, 5), weights=None):

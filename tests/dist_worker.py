@@ -67,10 +67,26 @@ def main(process_id, coordinator, out_path):
             jnp.asarray(True))
     for _ in range(2):
         state, metrics = step(state, sharded, *args)
+
+    # The multi-host EVAL path of cli/train.py: sharded eval step fed
+    # per-host rows of a padded batch with a 0/1 weight mask.
+    from dmcnet_tpu.parallel import make_sharded_eval_step
+    from dmcnet_tpu.train.engine import make_eval_step
+
+    ev = make_sharded_eval_step(
+        make_eval_step(model, num_segments=1, lr_cls_w=1.0, lr_mse_w=1.0,
+                       jit=False), mesh)
+    weight = np.asarray([1, 1, 1, 0], np.float32)  # one padded row
+    local_eval = {k: v[idx] for k, v in batch.items()}
+    local_eval["weight"] = weight[idx]
+    em = ev(state, global_batch_from_local(local_eval, mesh))
+
     if process_id == 0:
         flat = {f"p{i}": np.asarray(x)
                 for i, x in enumerate(jax.tree.leaves(state.params))}
         flat["loss"] = np.float32(metrics["loss"])
+        flat["eval_loss"] = np.float32(em["loss"])
+        flat["eval_top1"] = np.float32(em["top1"])
         np.savez(out_path, **flat)
     jax.distributed.shutdown()
 

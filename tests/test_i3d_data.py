@@ -117,7 +117,7 @@ def test_info_cache(items, tmp_path):
         [i.num_frames for i in ds1.items]
 
 
-def test_iterator_factory_creat(tmp_path):
+def test_iterator_factory_creat_mv_and_registry(tmp_path):
     """`creat` builds train/val datasets from the reference list layout
     (iterator_factory.py:184-202, minus hardcoded cluster paths): lists at
     <data_root>/raw/list_cvt/<name>_split<k>_{train,test}.txt, missing

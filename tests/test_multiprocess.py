@@ -71,10 +71,22 @@ def test_two_process_train_step_matches_single(tmp_path):
     for _ in range(2):
         state, metrics = step(state, batch, *args)
 
+    # single-process reference for the multi-host eval path
+    from dmcnet_tpu.train.engine import make_eval_step
+
+    ev = make_eval_step(model, num_segments=1, lr_cls_w=1.0, lr_mse_w=1.0,
+                        jit=False)
+    em = ev(state, {**batch,
+                    "weight": jnp.asarray([1, 1, 1, 0], jnp.float32)})
+    np.testing.assert_allclose(float(got["eval_loss"]), float(em["loss"]),
+                               rtol=2e-5)
+    np.testing.assert_allclose(float(got["eval_top1"]), float(em["top1"]),
+                               atol=1e-6)
+
     np.testing.assert_allclose(float(got["loss"]), float(metrics["loss"]),
                                rtol=1e-5)
     leaves = jax.tree.leaves(state.params)
-    assert len(leaves) == len([k for k in got.files if k != "loss"])
+    assert len(leaves) == len([k for k in got.files if k.startswith("p")])
     for i, ref in enumerate(leaves):
         np.testing.assert_allclose(got[f"p{i}"], np.asarray(ref), atol=5e-5,
                                    err_msg=f"param leaf {i}")
