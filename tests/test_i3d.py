@@ -200,15 +200,19 @@ def test_i3d_small_numeric_step():
                             jnp.float32),
         "label": jnp.asarray([[1]], jnp.int32),
     }
+    # The jitted step donates the state buffers (PERF_NOTES.md §4) — snapshot
+    # the generator leaves on host BEFORE calling it.
+    gen_before = [np.asarray(a)
+                  for a in jax.tree.leaves(state.params["gen_flow_model"])]
     new_state, metrics = g_step(
         state, batch, jax.random.key(1), jnp.float32(1e-3),
         jnp.float32(1e-3), jnp.float32(0.0), jnp.float32(1e-4),
         jnp.asarray(False))
     assert np.isfinite(float(metrics["loss"]))
     moved = any(
-        not np.allclose(a, b) for a, b in zip(
+        not np.allclose(np.asarray(a), b) for a, b in zip(
             jax.tree.leaves(new_state.params["gen_flow_model"]),
-            jax.tree.leaves(state.params["gen_flow_model"])))
+            gen_before))
     assert moved
 
 
