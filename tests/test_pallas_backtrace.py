@@ -106,13 +106,13 @@ def test_fallback_on_inconsistent_cells(rng):
     assert out.shape == (3, 16, 16, 2)
 
 
-def test_kernel_uniform_motion_fast_path():
-    """Global panning: whole 128-lane supercells share one MV, so the
-    kernel's uniform fast path (one aligned load + 2 rolls per plane
-    instead of 16 per-cell fetches) executes; border supercells fall back
-    to the general path via the span check.  Must match golden exactly.
-    Needs width >= 2 supercells (existing tests use width 96 and never
-    reach the fast path)."""
+def test_kernel_uniform_panning_motion_parity():
+    """Uniform panning-motion parity: whole 128-lane supercells share one
+    MV, exercising the kernel's general path on perfectly coherent motion
+    at width >= 2 supercells (the other tests use width 96 and never span
+    multiple supercells).  A dedicated uniform-motion fast path was
+    measured slower and removed (see pallas_backtrace.py); this input
+    class must still match golden exactly."""
     from dmcnet_tpu.codec.synthetic import MVBlock
 
     H, W, T = 64, 256, 4
