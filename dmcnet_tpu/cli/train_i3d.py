@@ -114,6 +114,15 @@ def build_parser(dataset_default="HMDB51"):
     p.add_argument('--workers', type=int, default=8,
                    help='host loader threads (the reference hardcodes '
                         'DataLoader num_workers=8, iterator_factory.py:184)')
+    # Multi-host (the reference's DDP vestige lives precisely in this
+    # trainer: train_model.py:117-118, rank-seeded iterators :38-40,
+    # hostname-suffixed checkpoints train/model.py:67-74).  When set, each
+    # process feeds its local shard of the global --batch-size.
+    p.add_argument('--dist-coordinator', type=str, default=None,
+                   help='jax.distributed coordinator address (host:port); '
+                        'unset = single-process.')
+    p.add_argument('--dist-num-processes', type=int, default=None)
+    p.add_argument('--dist-process-id', type=int, default=None)
     return p
 
 
@@ -166,7 +175,24 @@ def init_pretrained(args, params, bstats):
 
 def main(argv=None, dataset_default="HMDB51", input_size=224):
     args = autofill(build_parser(dataset_default).parse_args(argv))
-    np.random.seed(args.random_seed)
+
+    # Multi-host: one jitted program spans all hosts' devices; each host
+    # feeds its local shard (the reference's vestigial DDP path,
+    # train_model.py:117-118).  Must run before any jax.devices() call.
+    from dmcnet_tpu.parallel.multihost import (
+        global_batch_from_local,
+        initialize_distributed,
+        local_shard_indices,
+        process_seed,
+    )
+    initialize_distributed(args.dist_coordinator, args.dist_num_processes,
+                           args.dist_process_id)
+    multi_host = jax.process_count() > 1
+
+    # Rank-offset seeding so hosts draw different augmentations
+    # (reference seeds iterators by torch.distributed rank,
+    # train_model.py:38-40).
+    np.random.seed(process_seed(args.random_seed))
     num_classes = dataset_num_classes(args.dataset)
     net, input_conf = get_symbol(
         args.network, modality=args.modality, num_classes=num_classes,
@@ -179,8 +205,19 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     # (reference train_model.py:117-120).  Use the largest device count that
     # divides the global batch so shards stay equal.
     n_dev = len(jax.devices())
-    while args.batch_size % n_dev:
-        n_dev -= 1
+    if multi_host:
+        # refusing is better than silently training unsynchronized
+        # per-host replicas (no mesh = no gradient all-reduce); shrinking
+        # the mesh is not an option either — every process's devices must
+        # participate.
+        if args.batch_size % n_dev or args.batch_size % jax.process_count():
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"global device count ({n_dev}) and process count "
+                f"({jax.process_count()}) for multi-host training")
+    else:
+        while args.batch_size % n_dev:
+            n_dev -= 1
     mesh = make_mesh(jax.devices()[:n_dev])
     if n_dev > 1:
         print(f"data-parallel over {n_dev} devices "
@@ -192,9 +229,11 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         train_interval=args.train_frame_interval,
         val_interval=args.val_frame_interval, modality=args.modality,
         accumulate=bool(args.accumulate), ds_factor=args.ds_factor,
-        mv_minmaxnorm=bool(args.mv_minmaxnorm), seed=args.random_seed)
+        mv_minmaxnorm=bool(args.mv_minmaxnorm),
+        seed=process_seed(args.random_seed))
     train_asm = I3DBatchAssembler(train_ds, input_size=input_size,
-                                  is_train=True, seed=args.random_seed)
+                                  is_train=True,
+                                  seed=process_seed(args.random_seed))
     val_asm = I3DBatchAssembler(val_ds, input_size=input_size,
                                 is_train=False)
 
@@ -202,16 +241,30 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                upsample_interp=False, input_size=input_size,
                mean=input_conf["mean"][0], std=input_conf["std"][0])
 
-    def host_micro(asm, ds, start, iter_size, bs):
+    # In multi-host runs each process assembles only its rows of every
+    # microbatch (reference: rank-partitioned DistributedSampler semantics);
+    # global_batch_from_local then builds the single global sharded array.
+    local_rows = (list(local_shard_indices(args.batch_size)) if multi_host
+                  else list(range(args.batch_size)))
+
+    def host_micro(asm, ds, start, iter_size, bs, rows=None):
         """Host-side work only (decode + assemble): safe in loader threads."""
+        rows = range(bs) if rows is None else rows
         return [asm.batch([(start + k * bs + j) % len(ds)
-                           for j in range(bs)])
+                           for j in rows])
                 for k in range(iter_size)]
 
     def stack_micro(micros):
         """Device-side: augment each microbatch and stack (jitted kernels)."""
         aug_micros = [i3d_augment_batch(m, **aug) for m in micros]
         return jax.tree.map(lambda *xs: jnp.stack(xs), *aug_micros)
+
+    def place_train(stacked):
+        """(iter_size, B_local, ...) host stacks -> global sharded arrays."""
+        if multi_host:
+            return global_batch_from_local(
+                jax.tree.map(np.asarray, stacked), mesh, batch_axis=1)
+        return shard_batch(stacked, mesh, batch_axis=1)
 
     def stacked_batch(asm, ds, start, iter_size, bs):
         return stack_micro(host_micro(asm, ds, start, iter_size, bs))
@@ -249,6 +302,14 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         g_step = make_sharded_train_step(g_step, mesh, batch_axis=1)
         return replicate_state(state, mesh), d_step, g_step
 
+    def ckpt_path(epoch):
+        """Hostname-suffixed checkpoint names in multi-host runs so hosts
+        never collide on a shared filesystem (reference get_checkpoint_path,
+        train/model.py:67-74)."""
+        import socket
+        suffix = f"_{socket.gethostname()}" if multi_host else ""
+        return f"{args.model_prefix}_ep-{epoch:04d}{suffix}.pth"
+
     # Resuming at/after epoch_thre: build the stage-2 optimizers FIRST so
     # the checkpoint's moments restore into them — rebuilding after the
     # load would silently zero the restored optimizer state.
@@ -256,7 +317,7 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                      and args.resume_epoch >= args.epoch_thre)
     state, d_step, g_step = fresh_state(params, bstats, stage2=resume_stage2)
     if args.resume_epoch >= 0:
-        ckpt = f"{args.model_prefix}_ep-{args.resume_epoch:04d}.pth"
+        ckpt = ckpt_path(args.resume_epoch)
         if args.ckpt_backend == "orbax":
             from dmcnet_tpu.train.checkpoints import load_checkpoint_orbax
             state, meta = load_checkpoint_orbax(state, ckpt + ".orbax")
@@ -264,13 +325,20 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             state, meta = load_checkpoint(state, ckpt)
         state = replicate_state(state, mesh)
         print(f"resumed from {ckpt} (epoch {meta.get('epoch')})")
-    eval_step = make_i3d_eval_step(net)
+    # Mesh-constrained eval: required in multi-host runs, where the
+    # replicated state spans every process and a plain local jit would
+    # reject it (same construct as cli/train.py's validate path).
+    # `replicate_out` all-gathers logits/labels so every process can read
+    # the full score rows for the npz dump.
+    from dmcnet_tpu.parallel import make_sharded_eval_step
+    eval_step = make_sharded_eval_step(make_i3d_eval_step(net, jit=False),
+                                       mesh, replicate_out=multi_host)
 
-    # lr steps divided by effective samples per iteration
-    # (train_model.py:217-222); args.batch_size is the global batch fed per
-    # scheduler tick, world_size = participating processes (1 single-host).
-    world = jax.process_count()
-    step_div = max(1, int(args.batch_size * world))
+    # lr steps divided by effective samples per scheduler tick
+    # (train_model.py:217-222 divides the per-process batch by world_size;
+    # here --batch-size is already the GLOBAL batch, so it carries the
+    # world-size factor itself).
+    step_div = max(1, int(args.batch_size))
     sched_steps = sorted({max(1, int(s // step_div)) for s in args.lr_steps})
     sched1 = MultiFactorScheduler(sched_steps, args.lr_base, args.lr_factor)
     sched2 = MultiFactorScheduler(sched_steps, args.lr_base2, args.lr_factor)
@@ -304,12 +372,12 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         loader = PrefetchLoader(
             lambda i: host_micro(train_asm, train_ds,
                                  i * args.batch_size * args.iter_size,
-                                 args.iter_size, args.batch_size),
+                                 args.iter_size, args.batch_size,
+                                 rows=local_rows),
             batches_per_epoch, workers=args.workers)
         for i_batch, micros in enumerate(loader):
             t0 = time.time()
-            batch = stack_micro(micros)
-            batch = shard_batch(batch, mesh, batch_axis=1)
+            batch = place_train(stack_micro(micros))
             rng, srng = jax.random.split(rng)
             stage1 = epoch + 1 <= args.epoch_thre
             # The reference advances its per-iteration schedulers once per
@@ -348,12 +416,19 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             idx, n_valid = pad_indices(
                 start, min(start + args.batch_size, len(val_ds)),
                 args.batch_size)
-            b = i3d_augment_batch(val_asm.batch(idx), **aug)
-            b = shard_batch(b, mesh)
+            if multi_host:
+                # this process assembles only its rows of the padded batch
+                local_idx = [idx[j] for j in local_rows]
+                b = i3d_augment_batch(val_asm.batch(local_idx), **aug)
+                b = global_batch_from_local(jax.tree.map(np.asarray, b),
+                                            mesh)
+            else:
+                b = i3d_augment_batch(val_asm.batch(idx), **aug)
+                b = shard_batch(b, mesh)
             m = eval_step(state, b)
             sc = np.asarray(
                 jax.nn.softmax(m["logits"], axis=-1))[:n_valid]
-            lab = np.asarray(b["label"])[:n_valid]
+            lab = np.asarray(m["label"])[:n_valid]
             scores.append(sc)
             labels.append(lab)
             top1_m.update(
@@ -363,11 +438,13 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
               f"({time.time() - t_epoch:.1f}s)")
         if top1 > best_top1:
             best_top1 = top1
-            np.savez(os.path.join(args.score_dir, "score_best.npz"),
-                     scores=np.concatenate(scores),
-                     labels=np.concatenate(labels), top1=top1)
+            # multi-host: scores are replicated; write once (process 0)
+            if jax.process_index() == 0:
+                np.savez(os.path.join(args.score_dir, "score_best.npz"),
+                         scores=np.concatenate(scores),
+                         labels=np.concatenate(labels), top1=top1)
         if epoch % max(int(args.save_frequency), 1) == 0:
-            ckpt = f"{args.model_prefix}_ep-{epoch:04d}.pth"
+            ckpt = ckpt_path(epoch)
             if args.ckpt_backend == "orbax":
                 from dmcnet_tpu.train.checkpoints import save_checkpoint_orbax
                 save_checkpoint_orbax(state, {"epoch": epoch, "top1": top1},

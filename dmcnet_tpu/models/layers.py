@@ -25,10 +25,18 @@ def torch_pad(padding):
 def batch_norm(train, name=None, epsilon=BN_EPS):
     # dtype pinned to f32: under bf16 mixed precision the conv output is
     # upcast here so batch statistics stay full-precision.
+    #
+    # use_fast_variance=False: two-pass variance E[(x-E[x])^2], matching
+    # torch BatchNorm exactly.  flax's default E[x^2]-E[x]^2 shortcut
+    # suffers catastrophic cancellation whose error depends on summation
+    # order — under a data-sharded mesh the cross-device reduction
+    # reassociates and train-mode forwards drifted ~1e-3 in logits through
+    # the 22 BN layers of I3D (10x tighter with the two-pass form).
     import jax.numpy as jnp
 
     return nn.BatchNorm(use_running_average=not train, epsilon=epsilon,
-                        momentum=BN_MOMENTUM, dtype=jnp.float32, name=name)
+                        momentum=BN_MOMENTUM, dtype=jnp.float32,
+                        use_fast_variance=False, name=name)
 
 
 def conv3x3(features, stride=1, dilation=1, use_bias=True, name=None,

@@ -66,12 +66,18 @@ def make_sharded_train_step(step_fn, mesh, axis_name="data", batch_axis=0):
     return jax.jit(wrapped, donate_argnums=(0,))
 
 
-def make_sharded_eval_step(eval_fn, mesh, axis_name="data", batch_axis=0):
+def make_sharded_eval_step(eval_fn, mesh, axis_name="data", batch_axis=0,
+                           replicate_out=False):
     """Constrain an eval step to (replicated state, data-sharded batch).
 
     Unlike the train wrapper, no donation: callers reuse the state across
     eval batches.  Required in multi-host runs, where the replicated state
-    spans every process and a plain local jit would reject it."""
+    spans every process and a plain local jit would reject it.
+
+    `replicate_out=True` all-gathers the outputs onto every device so each
+    process can read full per-row results (e.g. logits for score dumps)
+    with `np.asarray` — without it, array outputs stay batch-sharded and
+    are not fully addressable from any single process."""
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, _batch_spec(axis_name, batch_axis))
 
@@ -80,4 +86,6 @@ def make_sharded_eval_step(eval_fn, mesh, axis_name="data", batch_axis=0):
         batch = jax.lax.with_sharding_constraint(batch, data)
         return eval_fn(state, batch)
 
+    if replicate_out:
+        return jax.jit(wrapped, out_shardings=repl)
     return jax.jit(wrapped)

@@ -39,18 +39,24 @@ def local_shard_indices(global_batch, drop_remainder=True):
     return range(start, start + per)
 
 
-def global_batch_from_local(local_batch, mesh, axis_name="data"):
+def global_batch_from_local(local_batch, mesh, axis_name="data",
+                            batch_axis=0):
     """Assemble a global device array from per-host local shards.
 
-    `local_batch` leaves have leading dim = global_batch / process_count.
-    Uses `jax.make_array_from_process_local_data` so the result is a single
-    global array sharded over the mesh's data axis.
+    `local_batch` leaves have dim `batch_axis` = global_batch /
+    process_count.  Uses `jax.make_array_from_process_local_data` so the
+    result is a single global array sharded over the mesh's data axis.
+    `batch_axis=1` fits the I3D engine's stacked (iter_size, B, ...)
+    microbatch layout.
     """
-    sharding = NamedSharding(mesh, P(axis_name))
+    spec = P(*([None] * batch_axis + [axis_name]))
+    sharding = NamedSharding(mesh, spec)
 
     def one(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        global_shape = tuple(
+            d * jax.process_count() if i == batch_axis else d
+            for i, d in enumerate(x.shape))
         return jax.make_array_from_process_local_data(sharding, x,
                                                       global_shape)
 

@@ -232,6 +232,9 @@ def make_i3d_eval_step(model, jit=True):
         out = model.apply(variables, mv_res, "flow+logit", False, False)
         logits, gen = out
         top1, top5 = topk_correct(logits, batch["label"], (1, 5))
-        return {"logits": logits, "top1": top1, "top5": top5}
+        # label is echoed so a replicate_out sharded wrapper hands every
+        # process the full (logits, label) rows for the score dump
+        return {"logits": logits, "label": batch["label"],
+                "top1": top1, "top5": top5}
 
     return jax.jit(step) if jit else step

@@ -83,8 +83,80 @@ def test_two_process_train_step_matches_single(tmp_path):
     np.testing.assert_allclose(float(got["eval_top1"]), float(em["top1"]),
                                atol=1e-6)
 
+    # rtol covers gloo cross-process reduction reassociating the BN
+    # two-pass variance sums differently than the local 4-device mesh
+    np.testing.assert_allclose(float(got["loss"]), float(metrics["loss"]),
+                               rtol=5e-5)
+    leaves = jax.tree.leaves(state.params)
+    assert len(leaves) == len([k for k in got.files if k.startswith("p")])
+    for i, ref in enumerate(leaves):
+        np.testing.assert_allclose(got[f"p{i}"], np.asarray(ref), atol=5e-5,
+                                   err_msg=f"param leaf {i}")
+
+
+def test_two_process_i3d_step_matches_single(tmp_path):
+    """Multi-host path of cli/train_i3d.py: the I3D G step over the stacked
+    (iter_size, B, ...) layout (batch_axis=1) across two processes must
+    match a single-process mesh of the same size, and the replicate_out
+    eval wrapper must hand both processes the full logits.
+
+    The reference run is the SAME 4-shard SPMD program on a 4-device
+    single-process mesh, so the only difference is the cross-process
+    collective implementation (gloo) — an unsharded reference would also
+    fold in batch-stat reduction reassociation through I3D's 22 train-mode
+    BN layers, which is covered by test_parallel.py instead."""
+    coord = f"127.0.0.1:{_free_port()}"
+    out = str(tmp_path / "dist_i3d.npz")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    repo = os.path.dirname(HERE)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    workers = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "dist_worker_i3d.py"),
+             str(pid), coord, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)
+    ]
+    logs = [w.communicate(timeout=540)[0].decode() for w in workers]
+    for w, log in zip(workers, logs):
+        assert w.returncode == 0, log[-3000:]
+    got = np.load(out)
+
+    # single-process reference: same model/batch/keys over a 4-device
+    # local mesh with the identical batch_axis=1 sharding
+    from dmcnet_tpu.parallel import (
+        make_mesh,
+        make_sharded_eval_step,
+        make_sharded_train_step,
+        replicate_state,
+        shard_batch,
+    )
+    from tests.dist_worker_i3d import make_batch, make_state_and_steps
+
+    state, g_step, ev = make_state_and_steps()
+    mesh = make_mesh(jax.devices()[:4])
+    step = make_sharded_train_step(g_step, mesh, batch_axis=1)
+    state = replicate_state(state, mesh)
+    batch = jax.tree.map(jnp.asarray, make_batch())
+    sharded = shard_batch(batch, mesh, batch_axis=1)
+    # one step, mirroring the worker (see dist_worker_i3d.py: the loss
+    # landscape at random init is chaotic; iterating amplifies benign
+    # collective-reassociation noise)
+    args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(0.0),
+            jnp.float32(0.0), jnp.float32(1e-4), jnp.asarray(False))
+    state, metrics = step(state, sharded, *args)
+
     np.testing.assert_allclose(float(got["loss"]), float(metrics["loss"]),
                                rtol=1e-5)
+    eval_step = make_sharded_eval_step(ev, mesh, replicate_out=True)
+    em = eval_step(state, shard_batch(jax.tree.map(lambda x: x[0], batch),
+                                      mesh))
+    # post-step logits fold the (slightly diverged) params AND batch_stats
+    # back through 22 BN layers — tolerance reflects that amplification
+    np.testing.assert_allclose(got["eval_logits"], np.asarray(em["logits"]),
+                               atol=1e-3)
+    np.testing.assert_array_equal(got["eval_labels"],
+                                  np.asarray(em["label"]))
     leaves = jax.tree.leaves(state.params)
     assert len(leaves) == len([k for k in got.files if k.startswith("p")])
     for i, ref in enumerate(leaves):

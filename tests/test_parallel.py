@@ -68,8 +68,11 @@ def test_sharded_matches_single_device():
                                rtol=1e-5)
     flat1 = jax.tree.leaves(s1.params)
     flat2 = jax.tree.leaves(s2.params)
+    # atol covers cross-device BN batch-stat reduction reassociation fed
+    # through Adam's eps=1e-3 first-step amplification (two-pass variance
+    # reassociates the mean subtraction too, layers.py batch_norm)
     for a, b_ in zip(flat1, flat2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
 
 
 class _MiniI3D(nn.Module):
