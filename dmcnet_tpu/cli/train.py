@@ -82,7 +82,9 @@ def make_datasets(args):
         flow_ds_factor=args.flow_ds_factor,
         upsample_interp=args.upsample_interp,
         mv_minmaxnorm=args.mv_minmaxnorm, flow_folder=args.data_flow,
-        new_length=args.new_length)
+        new_length=args.new_length,
+        gop_cache_mb=getattr(args, "gop_cache_mb", 128),
+        reader_cache=getattr(args, "reader_cache", 32))
     train_ds = CoviarDataset(video_list=args.train_list, is_train=True,
                              **common)
     val_ds = CoviarDataset(video_list=args.test_list, is_train=False,
@@ -309,6 +311,16 @@ def main(argv=None, gan=False, input_size=224):
                             + ".orbax")
                 else:
                     save_checkpoint(state, meta, name, is_best)
+                if getattr(args, "save_reference_ckpt", 0):
+                    from dmcnet_tpu.models.export_torch import (
+                        save_reference_checkpoint,
+                    )
+                    host_state = jax.tree.map(np.asarray, state)
+                    ref = name.replace(".orbax", "") + ".ref.pth.tar"
+                    save_reference_checkpoint(
+                        host_state, ref, epoch=epoch + 1, arch=args.arch,
+                        best_prec1=best_prec1)
+                    print(f"reference-format checkpoint: {ref}")
     return best_prec1
 
 

@@ -134,6 +134,21 @@ def build_parser(gan=False):
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='capture an XLA trace of training steps 2-7 '
                              'of the first epoch (TensorBoard/xprof).')
+    parser.add_argument('--gop-cache-mb', type=int, default=128,
+                        help='host GOP-decode LRU cache budget in MB '
+                             '(per dataset); size to the host, not the '
+                             'chip — larger caches cut repeat decodes on '
+                             'big datasets.')
+    parser.add_argument('--reader-cache', type=int, default=32,
+                        help='max simultaneously open video readers '
+                             '(LRU).')
+    parser.add_argument('--save-reference-ckpt', type=int, default=0,
+                        help='additionally write each saved checkpoint as a '
+                             'reference-loadable torch .pth.tar '
+                             '({epoch, arch, state_dict, best_prec1}, '
+                             'torch key names/layouts; reference '
+                             'train.py:372-377) so the reference stack can '
+                             'load models trained here.')
     return parser
 
 
