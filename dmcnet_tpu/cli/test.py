@@ -55,7 +55,11 @@ def build_parser():
     parser.add_argument('-j', '--workers', default=1, type=int)
     parser.add_argument('--gpus', nargs='+', type=int, default=None)
     parser.add_argument('--gop', type=int, default=12)
-    parser.add_argument('--viz', type=bool, default=False)
+    parser.add_argument('--viz', type=bool, default=False,
+                        help='dump a Middlebury color image of the '
+                             'generated DMC per video (reference threads '
+                             'viz into the dataset, test.py:55,117)')
+    parser.add_argument('--viz-dir', type=str, default='./viz')
     parser.add_argument('--gen_flow_or_delta', type=int, default=0)
     parser.add_argument('--gen_flow_ds_factor', type=int, default=0)
     parser.add_argument('--att', type=int, default=0)
@@ -141,7 +145,28 @@ def main(argv=None):
             batch["mv"], batch["residual"], train=False)
         consensus = segment_consensus(outs[0], total_seg)
         validity = outs[2] if args.arch_d else None
-        return consensus, validity
+        # first crop's generated DMC only (visualization; keeps the
+        # D2H transfer to one (H, W, 2) map per video)
+        gen0 = outs[1][0] if args.viz else None
+        return consensus, validity, gen0
+
+    if args.viz:
+        import os
+
+        from dmcnet_tpu.utils.viz import viz_flow
+        os.makedirs(args.viz_dir, exist_ok=True)
+
+    def dump_viz(gen0, index):
+        """PNG of the generated DMC (reference renders flow visualizations
+        when --viz is set, test.py:117 + utils.viz_flow)."""
+        from PIL import Image
+
+        g = np.asarray(gen0)
+        img = (viz_flow(g[..., 0], g[..., 1]) * 255).astype(np.uint8)
+        import os
+        name = os.path.splitext(os.path.basename(ds.items[index].path))[0]
+        Image.fromarray(img).save(
+            f"{args.viz_dir}/{index:05d}_{name}_gen_flow.png")
 
     output, video_labels = [], []
     g_adv_correct, g_adv_total = 0, 0
@@ -152,8 +177,10 @@ def main(argv=None):
             flow_ds_factor=args.flow_ds_factor,
             upsample_interp=args.upsample_interp,
             input_size=args.input_size)
-        scores, validity = forward_video(batch)
+        scores, validity, gen0 = forward_video(batch)
         scores = np.asarray(scores)  # (1, C)
+        if gen0 is not None:
+            dump_viz(gen0, i)
         if validity is not None:
             # adversarial "G accuracy": fraction of generated cues the
             # discriminator rates real (reference GAN test.py:158,184-192)

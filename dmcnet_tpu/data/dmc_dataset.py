@@ -79,17 +79,21 @@ class GopCache:
             # full native decode (the dominant host cost); serialize per
             # key so one thread decodes and the rest pick up the entry.
             gate = self._decoding.setdefault(key, threading.Lock())
-        with gate:
+        try:
+            with gate:
+                with self._lock:
+                    if key in self._items:
+                        self._items.move_to_end(key)
+                        return self._items[key]
+                value = self._decode(reader, gop, accumulate, minmax_bound)
             with self._lock:
-                if key in self._items:
-                    self._items.move_to_end(key)
-                    self._decoding.pop(key, None)
-                    return self._items[key]
-            value = self._decode(reader, gop, accumulate, minmax_bound)
-        with self._lock:
-            self._decoding.pop(key, None)
-            self._insert(key, value)
-        return value
+                self._insert(key, value)
+            return value
+        finally:
+            # Always drop the gate — a failed decode (corrupt video) must not
+            # leave a stale Lock that serializes every later attempt forever.
+            with self._lock:
+                self._decoding.pop(key, None)
 
     def _decode(self, reader, gop, accumulate, minmax_bound):
         frames, mv_maps = reader.decode_gop(gop)
@@ -125,7 +129,7 @@ class CoviarDataset:
                  num_segments=3, is_train=True, accumulate=True, gop=12,
                  flow_ds_factor=0, upsample_interp=False, mv_minmaxnorm=0,
                  flow_folder="tvl1", new_length=1, seed=0,
-                 items=None):
+                 items=None, gop_cache_mb=128, reader_cache=32):
         self.representation = representation
         self.num_segments = num_segments
         self.is_train = is_train
@@ -144,8 +148,10 @@ class CoviarDataset:
         self._draw_lock = threading.Lock()
         self.items = items if items is not None else load_video_list(
             video_list, data_root, flow_root)
-        self._readers = ReaderCache(max_readers=32)
-        self._gops = GopCache()
+        # Budgets are host-dependent (a 9.5k-video UCF-101 run wants more
+        # than the defaults) — exposed as --gop-cache-mb / --reader-cache.
+        self._readers = ReaderCache(max_readers=reader_cache)
+        self._gops = GopCache(max_bytes=int(gop_cache_mb) << 20)
         self._failed = set()  # paths already warned about (log once)
 
     def __len__(self):

@@ -26,7 +26,15 @@ def pad_indices(start, stop, batch_size):
 
 class PrefetchLoader:
     """Iterate batches produced by `make_batch(batch_index)` with
-    `num_batches` batches per epoch, prefetched by `workers` threads."""
+    `num_batches` batches per epoch, prefetched by `workers` threads.
+
+    ORDERING: batches are yielded in COMPLETION order, not index order —
+    with `workers > 1`, a slow decode lets later indices overtake it.
+    Every batch is yielded exactly once, which is all randomized training
+    needs (torch DataLoader with shuffle has the same property in spirit),
+    but per-step logs are NOT reproducible across different worker counts.
+    Anything order-sensitive (eval score dumps, golden traces) must iterate
+    the dataset directly, as the eval loops in cli/train.py do."""
 
     def __init__(self, make_batch, num_batches, workers=4, prefetch=8):
         self.make_batch = make_batch
