@@ -1,14 +1,15 @@
-"""Full TPU-resident serving pipeline benchmark (informational).
+"""Stage attribution for the on-device pipeline (diagnostic, not driver-facing).
 
-End-to-end on-device path per GOP, everything after the host's entropy
-decode: dense MV maps + decoded frames (as produced once per GOP by the
-native front-end) -> Pallas motion back-tracing -> accumulated MV +
-residual -> normalization -> center crop -> packed DMC generator ->
-ResNet-18 logits.  This is the pipeline the reference runs as
-(C extension per frame) + (host transforms) + (GPU convnets).
+Times jitted sub-graphs of bench_pipeline's program separately so the
+5k-clips/s push targets the real bottleneck instead of a guess:
 
-The driver-facing headline metric stays in bench.py; this script reports
-the pipeline breakdown.
+  A. back-trace+warp Pallas kernel alone
+  B. kernel + mv/res construction + normalize + crop (pre-generator)
+  C. full pipeline (== bench_pipeline.measure)
+  D. generator+classifier alone on HBM-resident crops (headline shape)
+
+All measurements follow the tunnel rules (warm configs, >=20-step windows
+closed by a real value fetch, best-of-3 windows).
 """
 
 import json
@@ -19,7 +20,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
+def _time(fn, *args, steps=20, windows=3):
+    for _ in range(4):
+        out = fn(*args)
+    jnp.asarray(jax.tree.leaves(out)[0]).astype(jnp.float32).sum().block_until_ready()
+    float(jnp.asarray(jax.tree.leaves(out)[0]).astype(jnp.float32).sum())
+    best = float("inf")
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            out = fn(*args)
+        float(jnp.asarray(jax.tree.leaves(out)[0]).astype(jnp.float32).sum())
+        best = min(best, time.perf_counter() - t0)
+    return best / steps
+
+
+def main(n_gops=32, gop_len=12, height=256, width=320, crop=224):
     from dmcnet_tpu.codec.synthetic import dense_mv_maps, synthetic_gop
     from dmcnet_tpu.models import make_estimator, resnet18
     from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator
@@ -28,6 +44,7 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
         cell_mv_from_dense,
         coarsen_cell_mv,
     )
+    from dmcnet_tpu.ops.packed_resnet import PackedResNet18
 
     rng = np.random.default_rng(0)
     gops = [synthetic_gop(rng, num_frames=gop_len, height=height,
@@ -37,8 +54,6 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
     for blocks, fr in gops:
         cm, ok = cell_mv_from_dense(dense_mv_maps(blocks, height, width))
         assert ok
-        # 1MV-per-macroblock content runs the CELL=16 kernel variant
-        # (~4x fewer per-cell fetches in the issue-bound shift loop)
         cm16, ok16 = coarsen_cell_mv(cm, height, width)
         assert ok16
         cell_mvs.append(cm16)
@@ -46,8 +61,6 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
     cell = 16
     cell_mvs = jnp.asarray(np.stack(cell_mvs))
     frames = jnp.asarray(np.stack(frames))
-
-    from dmcnet_tpu.ops.packed_resnet import PackedResNet18
 
     gen = make_estimator("DenseNetTiny")
     gen_vars = gen.init(jax.random.key(0),
@@ -60,60 +73,64 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
                         train=False)
     packed_cls = PackedResNet18(cls_vars, dtype=jnp.bfloat16)
 
-    mean_std = 0.2261  # (x-0.5)/mean(ImageNet std), dataset.py:260-262
+    mean_std = 0.2261
     y0 = (height - crop) // 2
     x0 = (width - crop) // 2
-
     ident_x = jnp.arange(width, dtype=jnp.int32)[None, None, None, :]
     ident_y = jnp.arange(height, dtype=jnp.int32)[None, None, :, None]
+    n_clips = n_gops * (gop_len - 1)
 
     @jax.jit
-    def pipeline(cell_mvs, frames):
-        # One batched Pallas launch for all GOPs (grid (G, T)).
+    def stage_a(cell_mvs, frames):
+        iframes = jnp.transpose(frames[:, 0].astype(jnp.int32), (0, 3, 1, 2))
+        return backtrace_warp_batch(cell_mvs, iframes, height, width,
+                                    cell=cell)
+
+    def mid(cell_mvs, frames):
         iframes = jnp.transpose(frames[:, 0].astype(jnp.int32), (0, 3, 1, 2))
         accu, warped = backtrace_warp_batch(cell_mvs, iframes, height, width,
-                                            cell=cell)
-        # mv = own position - traced source; res = frame - warped base;
-        # crop FIRST so normalization touches 224^2 only.
+                                    cell=cell)
         mv = jnp.stack([ident_x - accu[:, 1:, 0],
                         ident_y - accu[:, 1:, 1]], axis=-1)
         res = frames[:, 1:].astype(jnp.int32) - \
             jnp.transpose(warped[:, 1:], (0, 1, 3, 4, 2))
         mv = mv[:, :, y0:y0 + crop, x0:x0 + crop]
         res = res[:, :, y0:y0 + crop, x0:x0 + crop]
-        # mv_minmaxnorm(20) + +128 + /255 + (x-.5)/std, constants folded
         mv_n = ((mv.astype(jnp.float32) * (127.5 / 20.0) + 0.5)
                 / (255.0 * mean_std)).astype(jnp.bfloat16)
         res_n = (((res.astype(jnp.float32) + 0.5) / 255.0)
                  / jnp.asarray([0.229, 0.224, 0.225])).astype(jnp.bfloat16)
-        n_clips = n_gops * (gop_len - 1)
         mv_c = mv_n.reshape((n_clips, crop, crop, 2))
         res_c = res_n.reshape((n_clips, crop, crop, 3))
-        # fused packed path: +mv folded into the generator weights, packed
-        # 4x4 stem + folded BN in the classifier (ops/packed_resnet.py)
-        return packed_cls(packed_gen(jnp.concatenate([mv_c, res_c], -1)))
+        return jnp.concatenate([mv_c, res_c], -1)
 
-    for _ in range(4):
-        out = pipeline(cell_mvs, frames)
-    assert np.isfinite(float(out.astype(jnp.float32).sum()))  # true sync
-    t0 = time.perf_counter()
-    steps = 20
-    for _ in range(steps):
-        out = pipeline(cell_mvs, frames)
-    assert np.isfinite(float(out.astype(jnp.float32).sum()))
-    dt = time.perf_counter() - t0
-    clips = n_gops * (gop_len - 1) * steps
-    return {
-        "metric": "pipeline_clips_per_sec_chip",
-        "value": round(clips / dt, 1),
-        "unit": "clips/s",
-        "note": "codec backtrace + residual + normalize + crop + DMC + "
-                f"ResNet-18, fully on device ({n_gops}-GOP batches)",
-    }
+    stage_b = jax.jit(mid)
 
+    @jax.jit
+    def stage_c(cell_mvs, frames):
+        return packed_cls(packed_gen(mid(cell_mvs, frames)))
 
-def main():
-    print(json.dumps(measure()))
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(n_clips, crop, crop, 5)),
+        jnp.bfloat16)
+
+    @jax.jit
+    def stage_d(x):
+        return packed_cls(packed_gen(x))
+
+    import sys
+
+    out = {"n_clips": n_clips}
+    for name, fn, args in [
+        ("a_kernel_ms", stage_a, (cell_mvs, frames)),
+        ("b_pre_gen_ms", stage_b, (cell_mvs, frames)),
+        ("c_full_ms", stage_c, (cell_mvs, frames)),
+        ("d_gen_cls_ms", stage_d, (x,)),
+    ]:
+        out[name] = round(_time(fn, *args) * 1e3, 2)
+        print(f"# {name}: {out[name]}", file=sys.stderr, flush=True)
+    out["c_clips_per_sec"] = round(n_clips / (out["c_full_ms"] / 1e3), 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -96,6 +96,60 @@ def test_warp_kernel_parity(rng):
             np.asarray(accu)[t].transpose(1, 2, 0), golden_accu)
 
 
+def test_coarsen_cell_mv(rng):
+    blocks, _ = synthetic_gop(rng, num_frames=4, height=64, width=96,
+                              block_size=16, max_motion=10)
+    dense = dense_mv_maps(blocks, 64, 96)
+    cell_mv, ok = pb.cell_mv_from_dense(dense)
+    assert ok
+    coarse, ok16 = pb.coarsen_cell_mv(cell_mv, 64, 96)
+    assert ok16 and coarse.shape == (4, 4, 6, 2)
+    # 4MV-style split (different MVs inside one macroblock) must refuse.
+    mixed = np.array(cell_mv)
+    mixed[1, 0, 0] = (5, 0)
+    mixed[1, 0, 1] = (-5, 0)
+    _, ok16 = pb.coarsen_cell_mv(mixed, 64, 96)
+    assert not ok16
+    # |mv| beyond the CELL=16 window bound must refuse too.
+    big = np.array(cell_mv)
+    big[1, 1, 1] = big[1, 1, 0] = (pb.max_mv(16) + 1, 0)
+    big[1, 2, 0] = big[1, 2, 1] = (pb.max_mv(16) + 1, 0)
+    _, ok16 = pb.coarsen_cell_mv(big, 64, 96)
+    assert not ok16
+
+
+def test_kernel_cell16_matches_cell8_and_golden(rng):
+    """The CELL=16 variant (what 1MV-per-macroblock streams dispatch to)
+    must agree bit-for-bit with the CELL=8 kernel and the golden model."""
+    import jax.numpy as jnp
+
+    from dmcnet_tpu.codec.semantics import load_like_coviar_numpy
+
+    blocks, frames = synthetic_gop(rng, num_frames=5, height=64, width=128,
+                                   block_size=16, max_motion=12)
+    dense = dense_mv_maps(blocks, 64, 128)
+    cell_mv, ok = pb.cell_mv_from_dense(dense)
+    assert ok
+    coarse, ok16 = pb.coarsen_cell_mv(cell_mv, 64, 128)
+    assert ok16
+    accu8 = np.asarray(pb.backtrace_gop_cells(jnp.asarray(cell_mv), 64, 128))
+    accu16 = np.asarray(pb.backtrace_gop_cells(jnp.asarray(coarse), 64, 128,
+                                               cell=16))
+    np.testing.assert_array_equal(accu16, accu8)
+    for t in range(5):
+        golden = accumulate_gop_numpy(blocks, 64, 128, t)
+        np.testing.assert_array_equal(accu16[t].transpose(1, 2, 0), golden)
+    # warp variant at CELL=16: residual parity against the golden loader
+    iframe = jnp.asarray(frames[0].transpose(2, 0, 1), jnp.int32)
+    _, warped = pb.backtrace_warp_gop_cells(
+        jnp.asarray(coarse), iframe, 64, 128, cell=16)
+    warped = np.asarray(warped).transpose(0, 2, 3, 1)
+    for t in range(1, 5):
+        res = frames[t].astype(np.int32) - warped[t].astype(np.int32)
+        golden = load_like_coviar_numpy(blocks, frames, t, "residual", True)
+        np.testing.assert_array_equal(res, golden)
+
+
 def test_fallback_on_inconsistent_cells(rng):
     dense = np.zeros((3, 16, 16, 2), np.int32)
     dense[1, 0, 0] = (1, 0)  # two different nonzero values in one cell
