@@ -136,12 +136,16 @@ class VideoReader:
                     self._cache.pop(old, None)
         return frames, mv_maps
 
-    def decode_gop_blocks(self, gop, max_blocks=None):
+    def decode_gop_blocks(self, gop, max_blocks=None, skip_dense=False):
         """Decode one GOP including raw MV block lists.
 
-        Returns (frames (T,H,W,3) uint8, mv_maps (T,H,W,2) int16,
+        Returns (frames (T,H,W,3) uint8, mv_maps (T,H,W,2) int16 or None,
         blocks (T, max_blocks, 6) int32 [src_x,src_y,dst_x,dst_y,w,h],
         n_blocks (T,) int32) — the input of the Pallas back-tracing kernel.
+        `skip_dense=True` skips the dense per-pixel MV rasterization in the
+        native decoder (returns mv_maps=None): consumers that back-trace on
+        the device only need the block lists, and the dense maps are the
+        dominant rasterization cost per GOP.
         """
         n = self.gop_len(gop)
         if n <= 0:
@@ -151,19 +155,24 @@ class VideoReader:
             max_blocks = 4 * ((self.height + 15) // 16) * \
                 ((self.width + 15) // 16)
         frames = np.zeros((n, self.height, self.width, 3), np.uint8)
-        mv_maps = np.zeros((n, self.height, self.width, 2), np.int16)
+        if skip_dense:
+            mv_maps, mv_ptr = None, None
+        else:
+            mv_maps = np.zeros((n, self.height, self.width, 2), np.int16)
+            mv_ptr = mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
         blocks = np.zeros((n, max_blocks, 6), np.int32)
         n_blocks = np.zeros((n,), np.int32)
         got = self._lib.cv_decode_gop_blocks(
             self._handle, gop,
             frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n,
+            mv_ptr, n,
             blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n_blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             max_blocks)
         if got < 0:
             raise IOError(f"decode failed for gop {gop}")
-        return frames[:got], mv_maps[:got], blocks[:got], n_blocks[:got]
+        return (frames[:got], None if skip_dense else mv_maps[:got],
+                blocks[:got], n_blocks[:got])
 
     def close(self):
         if self._handle is not None:

@@ -259,7 +259,12 @@ static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
 
   const size_t frame_px = (size_t)h->width * h->height;
   std::memset(frames_bgr, 0, (size_t)max_frames * frame_px * 3);
-  std::memset(mv_maps, 0, (size_t)max_frames * frame_px * 2 * sizeof(int16_t));
+  // mv_maps may be null: block-list consumers (device-side back-tracing)
+  // skip the dense per-pixel rasterization entirely — it is pure host cost
+  // they re-derive on the accelerator.
+  if (mv_maps)
+    std::memset(mv_maps, 0,
+                (size_t)max_frames * frame_px * 2 * sizeof(int16_t));
   if (blocks) {
     std::memset(blocks, 0,
                 (size_t)max_frames * max_blocks * 6 * sizeof(int32_t));
@@ -282,8 +287,9 @@ static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
         if (sd) {
           const AVMotionVector* mvs = (const AVMotionVector*)sd->data;
           int n = (int)(sd->size / sizeof(AVMotionVector));
-          rasterize(mvs, n, h->width, h->height,
-                    mv_maps + (size_t)out_idx * frame_px * 2);
+          if (mv_maps)
+            rasterize(mvs, n, h->width, h->height,
+                      mv_maps + (size_t)out_idx * frame_px * 2);
           if (blocks) {
             int count = 0;
             int32_t* row = blocks + (size_t)out_idx * max_blocks * 6;

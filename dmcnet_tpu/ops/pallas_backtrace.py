@@ -125,6 +125,64 @@ def coarsen_cell_mv(cell_mv, height, width, factor=2, cell=CELL):
     return coarse, ok
 
 
+def cell_mv_from_blocks(blocks, n_blocks, height, width):
+    """Build the kernel's per-cell MV grid straight from MV block lists.
+
+    `blocks` (T, max_blocks, 6) int32 [src_x, src_y, dst_x, dst_y, w, h]
+    with center-coordinate convention (FFmpeg AVMotionVector, identical to
+    the reference's side-data input, coviar_data_loader.c:97-104);
+    `n_blocks` (T,) valid-row counts.  Zero-motion blocks are already
+    dropped by the native decoder.  Skips the dense per-pixel rasterization
+    entirely — per-pixel boundary clipping (c:105-108) is reproduced by the
+    kernel's validity mask, which `coarsen_cell_mv`'s clipped-zero analysis
+    shows is equivalent cell-wise.
+
+    Returns (cell_mv (T, H/cell, W/cell, 2) int32, cell) picking the
+    largest uniform cell size (16 for pure-1MV frames, 8 when 4MV blocks
+    appear), or (None, 0) when any block is unaligned to an 8-pixel grid,
+    |mv| exceeds the kernel bound, or H/W don't divide — callers fall back
+    to the dense host path.
+    """
+    blocks = np.asarray(blocks, np.int32)
+    n_blocks = np.asarray(n_blocks, np.int32)
+    t = blocks.shape[0]
+    for cell in (16, 8):
+        if height % cell or width % cell:
+            continue
+        grids = np.zeros((t, height // cell, width // cell, 2), np.int32)
+        ok = True
+        for ti in range(t):
+            bs = blocks[ti, :n_blocks[ti]]
+            if not len(bs):
+                continue
+            w_, h_ = bs[:, 4], bs[:, 5]
+            x0 = bs[:, 2] - w_ // 2
+            y0 = bs[:, 3] - h_ // 2
+            val = bs[:, 2:4] - bs[:, 0:2]
+            if (np.abs(val).max(initial=0) > max_mv(cell)
+                    or (w_ % cell).any() or (h_ % cell).any()
+                    or (x0 % cell).any() or (y0 % cell).any()
+                    or (x0 < 0).any() or (y0 < 0).any()
+                    or (x0 + w_ > width).any() or (y0 + h_ > height).any()):
+                ok = False
+                break
+            # Vectorized scatter per block span (spans are 1 cell for
+            # blocks == cell, else a small repeat grid; MPEG-4 blocks
+            # never overlap, so order is irrelevant).
+            for (bw, bh) in {(int(a), int(b))
+                             for a, b in zip(w_ // cell, h_ // cell)}:
+                sel = (w_ // cell == bw) & (h_ // cell == bh)
+                cy = y0[sel] // cell
+                cx = x0[sel] // cell
+                v = val[sel]
+                for dy in range(bh):
+                    for dx in range(bw):
+                        grids[ti, cy + dy, cx + dx] = v
+        if ok:
+            return grids, cell
+    return None, 0
+
+
 def _shift_cells_multi(specs, cmv_read, height, width, ncy, ncx,
                        cell=CELL):
     """Apply one frame's per-cell motion shift to several scratch refs.

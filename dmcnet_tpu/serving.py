@@ -90,33 +90,118 @@ class DMCPredictor:
         return cls(state.params, state.batch_stats, num_class=num_class,
                    **kwargs)
 
+    def _forward_u8(self, mv, res):
+        """uint8-encoded representation -> logits; normalize exactly like
+        the training pipeline (dataset.py:251-263).  Shared by the
+        host-accumulated path (`_classify`) and the device-backtrace GOP
+        program (`_gop_program`)."""
+        mv = (mv.astype(jnp.float32) / 255.0 - 0.5) / MEAN_STD
+        res = (res.astype(jnp.float32) / 255.0 - 0.5) \
+            / jnp.asarray(IMAGENET_STD)
+        x = jnp.concatenate([mv, res], axis=-1)
+        if self.packed_cls is not None:
+            # fully packed: +mv already fused into the generator weights
+            return self.packed_cls(self.packed(x.astype(jnp.bfloat16)))
+        if self.packed is not None:
+            dmc = self.packed(x.astype(jnp.bfloat16)).astype(jnp.float32)
+            dmc = dmc + mv if self.gen_flow_or_delta else dmc
+            return self.model.apply(
+                self.variables, dmc, method="classify", train=False)
+        logits, _ = self.model.apply(
+            self.variables, mv[:, None], res[:, None], train=False)
+        return logits
+
     @functools.cached_property
     def _classify(self):
-        size = self.input_size
-        bound = 20.0 if self.mv_minmaxnorm else None
-
-        del bound  # encoding happens natively (gop_mv_residual_u8)
-
         @jax.jit
         def fn(mv, res):
-            # inputs are the uint8-encoded representation; normalize exactly
-            # like the training pipeline (dataset.py:251-263)
-            mv = (mv.astype(jnp.float32) / 255.0 - 0.5) / MEAN_STD
-            res = (res.astype(jnp.float32) / 255.0 - 0.5) \
-                / jnp.asarray(IMAGENET_STD)
-            x = jnp.concatenate([mv, res], axis=-1)
-            if self.packed_cls is not None:
-                # fully packed: +mv already fused into the generator weights
-                return self.packed_cls(self.packed(x.astype(jnp.bfloat16)))
-            if self.packed is not None:
-                dmc = self.packed(x.astype(jnp.bfloat16)).astype(jnp.float32)
-                dmc = dmc + mv if self.gen_flow_or_delta else dmc
-                logits = self.model.apply(
-                    self.variables, dmc, method="classify", train=False)
-            else:
-                logits, _ = self.model.apply(
-                    self.variables, mv[:, None], res[:, None], train=False)
-            return logits
+            return self._forward_u8(mv, res)
+
+        return fn
+
+    @functools.lru_cache(maxsize=16)
+    def _gop_program(self, g, t, h, w, cell, n_pick):
+        """Jitted GOP-batch program: block-list cell MVs + I-frames +
+        (host-cropped) picked frames -> (logits, cropped mv_u8, cropped
+        res_u8), entirely on device.
+
+        Replaces the host's dense rasterize + accumulate + u8 encode
+        (cv_accumulate_gop_u8) with the Pallas back-trace kernel plus the
+        exact integer u8 encoding (trunc-toward-zero minmax scale, +128
+        clip — bit-identical to the native path, coviar_decode.cpp:495-556;
+        reference semantics coviar_data_loader.c:97-124).
+
+        The T-axis pick is an f32 one-hot contraction (MXU batch-matmul),
+        NOT take_along_axis — XLA lowers the latter to a per-element
+        gather that cost ~100 ms per 48-frame batch on v5e; all gathered
+        values are integers < 2^24, so the f32 contraction is bit-exact.
+        Crop precedes the contraction so it moves size^2 pixels, not
+        h*w.
+
+        All inputs arrive as ONE flat uint8 buffer: through an RPC device
+        tunnel each transfer pays ~25 ms latency, so 4 small arrays cost
+        ~110 ms/video while one combined buffer costs one round trip.
+        Cell MVs ride as int8+128 (|mv| <= max_mv(cell) <= 56) and picks
+        as uint8 (< 256 frames/GOP); both are exact."""
+        from dmcnet_tpu.ops.pallas_backtrace import backtrace_warp_batch
+
+        size = self.input_size
+        scale = float(127.5 / 20.0) if self.mv_minmaxnorm else 0.0
+        y0 = max((h - size) // 2, 0)
+        x0 = max((w - size) // 2, 0)
+        ncy, ncx = h // cell, w // cell
+        n_cm = g * t * ncy * ncx * 2
+        n_if = g * h * w * 3
+        n_fp = g * n_pick * size * size * 3
+
+        @jax.jit
+        def fn(buf):
+            cell_mvs = (buf[:n_cm].reshape(g, t, ncy, ncx, 2)
+                        .astype(jnp.int32) - 128)
+            iframes = buf[n_cm:n_cm + n_if].reshape(g, h, w, 3)
+            picked_frames = buf[n_cm + n_if:n_cm + n_if + n_fp] \
+                .reshape(g, n_pick, size, size, 3)
+            picks = buf[n_cm + n_if + n_fp:].reshape(g, n_pick) \
+                .astype(jnp.int32)
+            ifr = jnp.transpose(iframes.astype(jnp.int32), (0, 3, 1, 2))
+            accu, warped = backtrace_warp_batch(cell_mvs, ifr, h, w,
+                                                cell=cell)
+            accu = accu[..., y0:y0 + size, x0:x0 + size]
+            warped = warped[..., y0:y0 + size, x0:x0 + size]
+            onehot = (picks[:, :, None]
+                      == jnp.arange(t, dtype=jnp.int32)).astype(jnp.float32)
+            acc_p = jnp.einsum(
+                "gpt,gtcyx->gpcyx", onehot, accu.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            warp_p = jnp.einsum(
+                "gpt,gtcyx->gpcyx", onehot, warped.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+            hc, wc = accu.shape[-2], accu.shape[-1]
+            ix = x0 + jnp.arange(wc, dtype=jnp.int32)[None, None, None, :]
+            iy = y0 + jnp.arange(hc, dtype=jnp.int32)[None, None, :, None]
+            vx = ix - acc_p[:, :, 0]
+            vy = iy - acc_p[:, :, 1]
+            if scale:
+                # (int)(v * scale) in C truncates toward zero; scale
+                # 127.5/20 = 51/8 is exact in f32, so f32 trunc == C double
+                vx = jnp.trunc(vx.astype(jnp.float32) * scale)
+                vx = vx.astype(jnp.int32)
+                vy = jnp.trunc(vy.astype(jnp.float32) * scale)
+                vy = vy.astype(jnp.int32)
+            mv_u8 = jnp.clip(jnp.stack([vx, vy], -1) + 128, 0,
+                             255).astype(jnp.uint8)
+            fr_p = picked_frames[:, :, :hc, :wc].astype(jnp.int32)
+            res = fr_p - jnp.transpose(warp_p, (0, 1, 3, 4, 2))
+            res_u8 = jnp.clip(res + 128, 0, 255).astype(jnp.uint8)
+            if hc != size or wc != size:
+                pad = [(0, 0), (0, 0), (0, size - hc), (0, size - wc),
+                       (0, 0)]
+                mv_u8 = jnp.pad(mv_u8, pad)
+                res_u8 = jnp.pad(res_u8, pad)
+            logits = self._forward_u8(
+                mv_u8.reshape((g * n_pick, size, size, 2)),
+                res_u8.reshape((g * n_pick, size, size, 3)))
+            return logits, mv_u8, res_u8
 
         return fn
 
@@ -132,12 +217,34 @@ class DMCPredictor:
             out = np.pad(out, pad)
         return out
 
-    def predict_video(self, path, frames_per_gop=3):
+    def predict_video(self, path, frames_per_gop=3, backend="auto"):
         """Average logits over `frames_per_gop` sampled P-frames per GOP.
 
         All sampled frames of the video go to the device as ONE batch — one
         dispatch per video instead of one per GOP, which matters when the
-        device sits behind an RPC boundary."""
+        device sits behind an RPC boundary.
+
+        `backend`: "device" back-traces on the accelerator from MV block
+        lists (host does entropy decode only — no dense rasterize, no
+        accumulate, no u8 encode); "host" is the native-accumulate path;
+        "auto" tries device and falls back per video when the stream
+        doesn't qualify (unaligned blocks, |mv| beyond the kernel bound).
+        """
+        if backend in ("auto", "device"):
+            try:
+                out = self._predict_video_device(path, frames_per_gop)
+            except Exception:
+                # e.g. no Mosaic lowering on this backend (CPU without
+                # interpret mode): "auto" degrades to the host path
+                if backend == "device":
+                    raise
+                out = None
+            if out is not None:
+                return out
+            if backend == "device":
+                raise ValueError(
+                    f"{path}: stream does not qualify for the device "
+                    "back-trace path")
         mvs, ress = [], []
         with VideoReader(path) as reader:
             for g in range(reader.num_gops):
@@ -166,3 +273,69 @@ class DMCPredictor:
             res = np.repeat(res, reps, axis=0)
         logits = self._classify(jnp.asarray(mv), jnp.asarray(res))
         return np.asarray(logits)[:n].mean(axis=0)
+
+    def _predict_video_device(self, path, frames_per_gop=3):
+        """Device-backtrace inference from MV block lists; returns None
+        when any GOP disqualifies (caller falls back to the host path).
+
+        Host work per GOP shrinks to entropy decode + a vectorized
+        block-list -> cell-grid scatter (a few thousand ints); the dense
+        per-pixel rasterize (skip_dense=True), the accumulate recursion and
+        the u8 encode all move into the jitted GOP program.  GOP count is
+        padded to a multiple of 4 and frame counts to the batch max so
+        videos share a small set of compiled programs."""
+        from dmcnet_tpu.ops.pallas_backtrace import cell_mv_from_blocks
+
+        cms, frames_list, picks, counts = [], [], [], []
+        with VideoReader(path) as reader:
+            h, w = reader.height, reader.width
+            for gidx in range(reader.num_gops):
+                frames, _, blocks, n_blocks = reader.decode_gop_blocks(
+                    gidx, skip_dense=True)
+                if len(frames) < 2:
+                    continue
+                cm, cell = cell_mv_from_blocks(blocks, n_blocks, h, w)
+                if cm is None:
+                    return None
+                pick = np.linspace(1, len(frames) - 1,
+                                   min(frames_per_gop, len(frames) - 1))
+                pick = np.unique(np.round(pick).astype(np.int32))
+                counts.append(len(pick))
+                pick = np.pad(pick, (0, frames_per_gop - len(pick)),
+                              mode="edge")
+                picks.append(pick)
+                cms.append((cm, cell))
+                frames_list.append(frames)
+        if not cms:
+            return None
+        # Unify cell sizes: a 16-cell grid expands exactly to 8 (uniform).
+        cell = min(c for _, c in cms)
+        cms = [np.repeat(np.repeat(cm, c // cell, axis=1), c // cell, axis=2)
+               for cm, c in cms]
+        g_real = len(cms)
+        tmax = max(f.shape[0] for f in frames_list)
+        if tmax > 255:
+            return None  # picks ride as uint8 in the combined buffer
+        g_pad = -(-g_real // 4) * 4
+        ncy, ncx = h // cell, w // cell
+        size = self.input_size
+        cm_b = np.zeros((g_pad, tmax, ncy, ncx, 2), np.int32)
+        if_b = np.zeros((g_pad, h, w, 3), np.uint8)
+        fp_b = np.zeros((g_pad, frames_per_gop, size, size, 3), np.uint8)
+        pk_b = np.ones((g_pad, frames_per_gop), np.uint8)
+        for i, (cm, fr, pk) in enumerate(zip(cms, frames_list, picks)):
+            cm_b[i, :cm.shape[0]] = cm
+            if_b[i] = fr[0]
+            # Only the I-frame and the picked frames go to the device
+            # (pre-cropped): 3-4x fewer H2D bytes than shipping every
+            # decoded frame of the GOP.
+            fp_b[i] = self._center_crop(fr[pk])
+            pk_b[i] = pk
+        fn = self._gop_program(g_pad, tmax, h, w, cell, frames_per_gop)
+        buf = np.concatenate([
+            (cm_b + 128).astype(np.uint8).ravel(), if_b.ravel(),
+            fp_b.ravel(), pk_b.ravel()])
+        logits, _, _ = fn(jnp.asarray(buf))
+        logits = np.asarray(logits).reshape(g_pad, frames_per_gop, -1)
+        rows = [logits[i, :k] for i, k in enumerate(counts)]
+        return np.concatenate(rows).mean(axis=0)

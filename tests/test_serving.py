@@ -5,6 +5,34 @@ import numpy as np
 from dmcnet_tpu.codec.mpeg4 import encode_mpeg4
 
 
+def _encode_panning(path, rng, n=26, h=64, w=96, gop=12):
+    pad = 40
+    canvas = (rng.integers(0, 256, size=(h + 2 * pad + 30,
+                                         w + 2 * pad + 60, 3))
+              // 8 * 8).astype(np.uint8)
+    frames = np.stack([canvas[pad + i:pad + i + h,
+                              pad + 2 * i:pad + 2 * i + w]
+                       for i in range(n)])
+    encode_mpeg4(path, frames, gop_size=gop, bit_rate=2_000_000)
+
+
+def _make_predictor(num_class=7, hw=64, **kwargs):
+    import jax
+    import jax.numpy as jnp
+
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.serving import DMCPredictor
+
+    model = DMCNet(num_class=num_class, num_segments=1,
+                   arch_estimator="DenseNetTiny", gen_flow_or_delta=1)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 1, hw, hw, 2)),
+                           jnp.zeros((1, 1, hw, hw, 3)), train=False)
+    return DMCPredictor(variables["params"],
+                        variables.get("batch_stats", {}),
+                        num_class=num_class, input_size=hw, **kwargs)
+
+
 def test_predict_video(tmp_path):
     import jax
 
@@ -42,3 +70,65 @@ def test_predict_video(tmp_path):
                            input_size=hw, pack=False)
     scores2 = pred_np.predict_video(str(path))
     np.testing.assert_allclose(scores, scores2, atol=0.05)
+
+
+def test_device_backtrace_bit_exact(tmp_path):
+    """Device GOP program (block lists -> Pallas back-trace -> u8 encode)
+    vs the native host accumulate (cv_accumulate_gop_u8): bit-identical
+    mv_u8 / res_u8 on every P-frame of every GOP of a panning clip that
+    exercises boundary clipping."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_u8
+    from dmcnet_tpu.codec.mpeg4 import VideoReader
+    from dmcnet_tpu.ops.pallas_backtrace import cell_mv_from_blocks
+
+    rng = np.random.default_rng(3)
+    path = tmp_path / "v.avi"
+    _encode_panning(str(path), rng)
+    pred = _make_predictor()
+
+    checked = 0
+    with VideoReader(str(path)) as reader:
+        h, w = reader.height, reader.width
+        for g in range(reader.num_gops):
+            frames, mv_maps, blocks, n_blocks = reader.decode_gop_blocks(g)
+            if len(frames) < 2:
+                continue
+            mv_host, res_host = gop_mv_residual_u8(mv_maps, frames, True, 20)
+            cm, cell = cell_mv_from_blocks(blocks, n_blocks, h, w)
+            assert cm is not None, f"gop {g} should qualify"
+            t = len(frames)
+            picks = np.arange(1, t, dtype=np.int32)
+            fn = pred._gop_program(1, t, h, w, cell, t - 1)
+            buf = np.concatenate([
+                (cm[None] + 128).astype(np.uint8).ravel(),
+                frames[None, 0].ravel(),
+                pred._center_crop(frames[picks])[None].ravel(),
+                picks[None].astype(np.uint8).ravel()])
+            with pltpu.force_tpu_interpret_mode():
+                _, mv_dev, res_dev = fn(jnp.asarray(buf))
+            np.testing.assert_array_equal(
+                np.asarray(mv_dev)[0], pred._center_crop(mv_host[picks]))
+            np.testing.assert_array_equal(
+                np.asarray(res_dev)[0], pred._center_crop(res_host[picks]))
+            checked += 1
+    assert checked >= 2
+
+
+def test_predict_video_device_vs_host(tmp_path):
+    """End-to-end scores agree between the device-backtrace and host
+    backends; "auto" without a Pallas-capable backend degrades to host."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(4)
+    path = tmp_path / "v.avi"
+    _encode_panning(str(path), rng)
+    pred = _make_predictor()
+
+    with pltpu.force_tpu_interpret_mode():
+        s_dev = pred.predict_video(str(path), backend="device")
+    s_host = pred.predict_video(str(path), backend="host")
+    assert s_dev.shape == s_host.shape == (7,)
+    np.testing.assert_allclose(s_dev, s_host, atol=0.05)
