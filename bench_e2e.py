@@ -75,8 +75,14 @@ def measure(n_videos=4, t=48, h=256, w=320):
         dt_dev, s_dev = run("device")
         # same weights, bit-identical u8 inputs (tests/test_serving.py)
         assert np.allclose(s_dev, s_host, atol=0.05)
+        pred.predict_videos(paths[:1], chunk_gops=16)  # compile + warm
+        t0 = time.perf_counter()
+        batched = pred.predict_videos(paths, frames_per_gop=3,
+                                      backend="device", chunk_gops=16)
+        dt_batched = time.perf_counter() - t0
+        assert np.allclose(batched[-1], s_host, atol=0.05)
     except Exception:
-        dt_dev = None  # stream disqualified or no Mosaic on this backend
+        dt_dev = dt_batched = None  # disqualified or no Mosaic here
     out = {
         "metric": "e2e_file_to_scores_clips_per_sec",
         "value": round(clips / (dt_dev if dt_dev else dt_host), 1),
@@ -92,6 +98,10 @@ def measure(n_videos=4, t=48, h=256, w=320):
     if dt_dev is not None:
         out["device_backend_clips_per_sec"] = round(clips / dt_dev, 1)
         out["wall_ms_per_gop_device_backend"] = round(dt_dev * 1e3 / gops, 2)
+    if dt_batched is not None:
+        out["value"] = max(out["value"], round(clips / dt_batched, 1))
+        out["batched_device_clips_per_sec"] = round(clips / dt_batched, 1)
+        out["wall_ms_per_gop_batched"] = round(dt_batched * 1e3 / gops, 2)
     return out
 
 

@@ -274,16 +274,11 @@ class DMCPredictor:
         logits = self._classify(jnp.asarray(mv), jnp.asarray(res))
         return np.asarray(logits)[:n].mean(axis=0)
 
-    def _predict_video_device(self, path, frames_per_gop=3):
-        """Device-backtrace inference from MV block lists; returns None
-        when any GOP disqualifies (caller falls back to the host path).
-
-        Host work per GOP shrinks to entropy decode + a vectorized
-        block-list -> cell-grid scatter (a few thousand ints); the dense
-        per-pixel rasterize (skip_dense=True), the accumulate recursion and
-        the u8 encode all move into the jitted GOP program.  GOP count is
-        padded to a multiple of 4 and frame counts to the batch max so
-        videos share a small set of compiled programs."""
+    def _gather_video_device(self, path, frames_per_gop):
+        """Host side of the device-backtrace path for one video: entropy
+        decode + block-list -> cell-grid conversion.  Returns
+        (cms, frames_list, picks, counts, h, w) or None when any GOP
+        disqualifies (caller falls back to the host-accumulate path)."""
         from dmcnet_tpu.ops.pallas_backtrace import cell_mv_from_blocks
 
         cms, frames_list, picks, counts = [], [], [], []
@@ -308,6 +303,22 @@ class DMCPredictor:
                 frames_list.append(frames)
         if not cms:
             return None
+        return cms, frames_list, picks, counts, h, w
+
+    def _predict_video_device(self, path, frames_per_gop=3):
+        """Device-backtrace inference from MV block lists; returns None
+        when any GOP disqualifies (caller falls back to the host path).
+
+        Host work per GOP shrinks to entropy decode + a vectorized
+        block-list -> cell-grid scatter (a few thousand ints); the dense
+        per-pixel rasterize (skip_dense=True), the accumulate recursion and
+        the u8 encode all move into the jitted GOP program.  GOP count is
+        padded to a multiple of 4 and frame counts to the batch max so
+        videos share a small set of compiled programs."""
+        gathered = self._gather_video_device(path, frames_per_gop)
+        if gathered is None:
+            return None
+        cms, frames_list, picks, counts, h, w = gathered
         # Unify cell sizes: a 16-cell grid expands exactly to 8 (uniform).
         cell = min(c for _, c in cms)
         cms = [np.repeat(np.repeat(cm, c // cell, axis=1), c // cell, axis=2)
@@ -339,3 +350,80 @@ class DMCPredictor:
         logits = np.asarray(logits).reshape(g_pad, frames_per_gop, -1)
         rows = [logits[i, :k] for i, k in enumerate(counts)]
         return np.concatenate(rows).mean(axis=0)
+
+    def predict_videos(self, paths, frames_per_gop=3, backend="auto",
+                       chunk_gops=64):
+        """Batched whole-video inference: GOPs of MANY videos share device
+        calls, in fixed `chunk_gops`-GOP chunks (one compiled program per
+        (h, w) geometry).  Behind an RPC device boundary each call pays a
+        fixed dispatch+fetch latency, so per-video calls leave the device
+        idle between videos; chunking amortizes it and lets the device
+        queue pipeline chunk i+1's transfer under chunk i's compute.
+
+        Returns a list of score vectors aligned with `paths`.  Videos that
+        disqualify from the device path (see predict_video) fall back to
+        the host-accumulate path individually."""
+        results = {}
+        pending = []
+        for p in paths:
+            gathered = None
+            if backend in ("auto", "device"):
+                try:
+                    gathered = self._gather_video_device(p, frames_per_gop)
+                except Exception:
+                    gathered = None
+            tmax_v = (max(f.shape[0] for f in gathered[1])
+                      if gathered else 0)
+            if gathered is None or tmax_v > 255:
+                if backend == "device":
+                    raise ValueError(
+                        f"{p}: stream does not qualify for the device "
+                        "back-trace path")
+                results[p] = self.predict_video(p, frames_per_gop,
+                                                backend="host")
+            else:
+                pending.append((p, gathered))
+
+        size = self.input_size
+        groups = {}
+        for p, (cms, fl, pk, cn, h, w) in pending:
+            groups.setdefault((h, w), []).append((p, cms, fl, pk, cn))
+        for (h, w), vids in groups.items():
+            cell = min(c for _, cms, _, _, _ in vids for _, c in cms)
+            tmax = max(f.shape[0] for _, _, fl, _, _ in vids for f in fl)
+            ncy, ncx = h // cell, w // cell
+            flat = []  # (owner_path, cell_mv, frames, pick, count)
+            for p, cms, fl, pk, cn in vids:
+                for (cm, c), fr, pick, count in zip(cms, fl, pk, cn):
+                    cm = np.repeat(np.repeat(cm, c // cell, axis=1),
+                                   c // cell, axis=2)
+                    flat.append((p, cm, fr, pick, count))
+            fn = self._gop_program(chunk_gops, tmax, h, w, cell,
+                                   frames_per_gop)
+            in_flight = []  # (logits ref, chunk rows)
+            per_video = {p: [] for p, *_ in vids}
+            for c0 in range(0, len(flat), chunk_gops):
+                chunk = flat[c0:c0 + chunk_gops]
+                cm_b = np.zeros((chunk_gops, tmax, ncy, ncx, 2), np.int32)
+                if_b = np.zeros((chunk_gops, h, w, 3), np.uint8)
+                fp_b = np.zeros((chunk_gops, frames_per_gop, size, size, 3),
+                                np.uint8)
+                pk_b = np.ones((chunk_gops, frames_per_gop), np.uint8)
+                for i, (_, cm, fr, pick, _) in enumerate(chunk):
+                    cm_b[i, :cm.shape[0]] = cm
+                    if_b[i] = fr[0]
+                    fp_b[i] = self._center_crop(fr[pick])
+                    pk_b[i] = pick
+                buf = np.concatenate([
+                    (cm_b + 128).astype(np.uint8).ravel(), if_b.ravel(),
+                    fp_b.ravel(), pk_b.ravel()])
+                logits, _, _ = fn(jnp.asarray(buf))
+                in_flight.append((logits, chunk))
+            for logits, chunk in in_flight:
+                lg = np.asarray(logits).reshape(chunk_gops, frames_per_gop,
+                                                -1)
+                for i, (p, _, _, _, count) in enumerate(chunk):
+                    per_video[p].append(lg[i, :count])
+            for p, rows in per_video.items():
+                results[p] = np.concatenate(rows).mean(axis=0)
+        return [results[p] for p in paths]

@@ -132,3 +132,26 @@ def test_predict_video_device_vs_host(tmp_path):
     s_host = pred.predict_video(str(path), backend="host")
     assert s_dev.shape == s_host.shape == (7,)
     np.testing.assert_allclose(s_dev, s_host, atol=0.05)
+
+
+def test_predict_videos_batched(tmp_path):
+    """Batched device inference chunks GOPs of many videos into shared
+    device calls; scores match the per-video paths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"v{i}.avi"
+        _encode_panning(str(p), np.random.default_rng(10 + i),
+                        n=14 + 12 * i)
+        paths.append(str(p))
+    pred = _make_predictor()
+
+    with pltpu.force_tpu_interpret_mode():
+        batched = pred.predict_videos(paths, chunk_gops=4)
+        single = [pred.predict_video(p, backend="device") for p in paths]
+    for b, s in zip(batched, single):
+        np.testing.assert_allclose(b, s, atol=1e-4)
+    host = [pred.predict_video(p, backend="host") for p in paths]
+    for b, hsc in zip(batched, host):
+        np.testing.assert_allclose(b, hsc, atol=0.05)
