@@ -17,7 +17,8 @@ import numpy as np
 
 
 def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
-            iter_size=1, detach=True, packed=0, train_backbone=True):
+            iter_size=1, detach=True, packed=0, train_backbone=True,
+            remat=False):
     from dmcnet_tpu.models.i3d import I3D, init_i3d_variables
     from dmcnet_tpu.train.engine import TrainState
     from dmcnet_tpu.train.engine_i3d import (
@@ -27,7 +28,7 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
 
     net = I3D(num_classes=51, modality="flow+mp4",
               arch_estimator="DenseNetTiny", dtype=dtype,
-              packed_gen=packed)
+              packed_gen=packed, remat=remat)
     rng = np.random.default_rng(0)
     x0 = jnp.zeros((1, t, hw, hw, 5), jnp.float32)
     variables = init_i3d_variables(net, jax.random.key(0), x0)
@@ -74,6 +75,7 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
                 f"detach={int(detach)} (train.sh recipe)"
                 + (" (bf16)" if dtype is not None else "")
                 + (f" (packed s={packed})" if packed else "")
+                + (" (remat)" if remat else "")
                 + ("" if train_backbone else " (stage-1 frozen backbone)"),
     }
 

@@ -223,19 +223,26 @@ _ESTIMATORS = {
 
 
 def make_estimator(arch_estimator, att=0, gen_flow_ds_factor=0, dtype=None,
-                   packed=0):
+                   packed=0, remat=False):
     """Estimator factory matching reference name selection (model.py:311-325).
 
     `packed`: space-to-depth factor for the dense family's exact packed
     reparameterization (see `_DenseEstimator`); ignored by architectures
-    that don't support it."""
+    that don't support it.  `remat`: rematerialize the estimator's
+    activations in the backward pass (exact; param names unchanged) — the
+    generator runs per-frame at full resolution, so its stashed
+    activations dominate HBM traffic on long clips."""
     if arch_estimator == "ContextNetwork":
         cls = ContextNetworkAtt if att else ContextNetwork
+        if remat:
+            cls = nn.remat(cls, static_argnums=(2,))
         return cls(gen_flow_ds_factor=gen_flow_ds_factor, dtype=dtype)
     try:
         cls = _ESTIMATORS[arch_estimator]
     except KeyError:
         raise ValueError(f"unknown arch_estimator {arch_estimator!r}") from None
+    if remat:
+        cls = nn.remat(cls, static_argnums=(2,))
     if issubclass(cls, _DenseEstimator):
         return cls(dtype=dtype, packed=packed)
     return cls(dtype=dtype)

@@ -182,9 +182,12 @@ class I3D(nn.Module):
 
     def setup(self):
         if self.arch_estimator:
+            # remat covers the generator too: it runs per-frame at full
+            # resolution, so its stashed activations dominate HBM traffic.
             self.gen_flow_model = make_estimator(self.arch_estimator,
                                                  dtype=self.dtype,
-                                                 packed=self.packed_gen)
+                                                 packed=self.packed_gen,
+                                                 remat=self.remat)
         if self.arch_d:
             self.discriminator = make_discriminator(self.arch_d)
         self.conv3d_1a_7x7 = Unit3D(64, (7, 7, 7), (2, 2, 2),
@@ -223,7 +226,9 @@ class I3D(nn.Module):
         """Per-frame DMC generation: (B, T, H, W, 5) -> (B, T, H, W, 2)."""
         b, t = x.shape[0], x.shape[1]
         flat = x.reshape((b * t,) + x.shape[2:])
-        gen = self.gen_flow_model(flat, train=train)
+        # positional `train`: the remat-wrapped estimator declares it a
+        # static argument by position (static_argnums).
+        gen = self.gen_flow_model(flat, train)
         return gen.reshape((b, t) + gen.shape[1:])
 
     def discriminate(self, frames, train=True):

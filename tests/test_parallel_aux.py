@@ -42,6 +42,35 @@ def test_i3d_remat_same_params():
     assert jax.tree.structure(v_plain) == jax.tree.structure(v_remat)
 
 
+def test_i3d_remat_covers_generator_exactly():
+    """remat=True also rematerializes the embedded estimator (its
+    per-frame full-resolution activations dominate HBM traffic); the
+    rewrite must be exact: same param tree, same forward, same grads."""
+    from dmcnet_tpu.models.i3d import I3D, init_i3d_variables
+
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(1, 4, 32, 32, 5)), jnp.float32)
+    nets, variables = [], []
+    for remat in (False, True):
+        net = I3D(num_classes=5, modality="flow+mp4",
+                  arch_estimator="DenseNetTiny", remat=remat)
+        nets.append(net)
+        variables.append(init_i3d_variables(net, jax.random.key(0), x))
+    assert (jax.tree.structure(variables[0])
+            == jax.tree.structure(variables[1]))
+
+    def loss(params, net, bstats):
+        logits, gen = net.apply(
+            {"params": params, "batch_stats": bstats}, x,
+            "flow+logit", False, False)
+        return jnp.sum(logits ** 2) + jnp.sum(gen ** 2)
+
+    grads = [jax.grad(loss)(v["params"], n, v["batch_stats"])
+             for n, v in zip(nets, variables)]
+    for a, b in zip(jax.tree.leaves(grads[0]), jax.tree.leaves(grads[1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
 def test_image_list_dataset(tmp_path):
     from PIL import Image
 
