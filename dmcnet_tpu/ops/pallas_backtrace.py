@@ -417,6 +417,45 @@ def backtrace_warp_gop_cells(cell_mv, iframe_chw, height, width,
     return accu[0], warped[0]
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "cell"))
+def backtrace_warp_batch_xla(cell_mv, iframes_chw, height, width,
+                             cell=CELL):
+    """Exact XLA twin of `backtrace_warp_batch` — same signature, same
+    integer outputs, no Pallas.
+
+    Use it where the Mosaic kernel can't run: non-TPU backends, and CPU
+    multi-device `shard_map` programs (the TPU interpreter's per-core
+    machinery deadlocks when several device programs run it concurrently
+    on one host, so `pltpu.force_tpu_interpret_mode` + mesh is not an
+    option).  `tests/test_pallas_backtrace.py` pins kernel == twin.
+    Semantics: codec.accumulate.backtrace_gop over the cell-densified
+    motion field (reference coviar_data_loader.c:97-175), with the
+    kernel's per-pixel validity rule applied first: where the source
+    pixel `pos - mv` falls out of bounds, motion is zero for that pixel
+    at that step (the reference rasterizer never writes such pixels,
+    c:105-108)."""
+    from dmcnet_tpu.codec.accumulate import _gather_hw, backtrace_gop
+
+    dense = jnp.repeat(jnp.repeat(cell_mv.astype(jnp.int32), cell, axis=2),
+                       cell, axis=3)  # (G, T, H, W, 2)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (height, width), 1)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (height, width), 0)
+    sx = xs[None, None] - dense[..., 0]
+    sy = ys[None, None] - dense[..., 1]
+    ok = ((sx >= 0) & (sx < width) & (sy >= 0) & (sy < height))
+    dense = jnp.where(ok[..., None], dense, 0)
+
+    def one(mv_maps, iframe_chw):
+        accu_src = backtrace_gop(mv_maps)  # (T, H, W, 2) = (sx, sy)
+        iframe_hwc = jnp.transpose(iframe_chw.astype(jnp.int32), (1, 2, 0))
+        warped = jax.vmap(
+            lambda s: _gather_hw(iframe_hwc, s[..., 0], s[..., 1]))(accu_src)
+        return (jnp.transpose(accu_src, (0, 3, 1, 2)),
+                jnp.transpose(warped, (0, 3, 1, 2)))
+
+    return jax.vmap(one)(dense, iframes_chw)
+
+
 def backtrace_gop_pallas(mv_maps):
     """Dense-map convenience wrapper with automatic XLA fallback."""
     from dmcnet_tpu.codec.accumulate import backtrace_gop

@@ -34,7 +34,7 @@ class DMCPredictor:
     def __init__(self, params, batch_stats, num_class=51,
                  arch="resnet18", arch_estimator="DenseNetTiny",
                  gen_flow_or_delta=1, mv_minmaxnorm=1, input_size=224,
-                 pack=True):
+                 pack=True, mesh=None, backtrace_impl=None):
         self.model = DMCNet(num_class=num_class, num_segments=1,
                             arch=arch, arch_estimator=arch_estimator,
                             gen_flow_or_delta=gen_flow_or_delta)
@@ -62,6 +62,18 @@ class DMCPredictor:
                     {"params": params["base_model"],
                      "batch_stats": batch_stats["base_model"]})
         self.gen_flow_or_delta = gen_flow_or_delta
+        # Optional 1-D jax.sharding.Mesh: serving scale-out. Clip batches
+        # (host path) and GOP batches (device-backtrace path) are sharded
+        # across the mesh; GOPs are independent, so no collectives run
+        # until the host-side score averaging.
+        self.mesh = mesh
+        # Back-trace implementation for the device path; defaults to the
+        # Mosaic kernel. Pass ops.pallas_backtrace.backtrace_warp_batch_xla
+        # on non-TPU backends (bit-identical, tested).
+        if backtrace_impl is None:
+            from dmcnet_tpu.ops.pallas_backtrace import backtrace_warp_batch
+            backtrace_impl = backtrace_warp_batch
+        self._backtrace = backtrace_impl
 
     @classmethod
     def from_checkpoint(cls, path, num_class=51, **kwargs):
@@ -113,11 +125,41 @@ class DMCPredictor:
 
     @functools.cached_property
     def _classify(self):
-        @jax.jit
         def fn(mv, res):
             return self._forward_u8(mv, res)
 
-        return fn
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s = NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+        return jax.jit(fn, in_shardings=(s, s), out_shardings=s)
+
+    @property
+    def _gop_quant(self):
+        """GOP-batch size quantum: 4 (executable bucketing) lifted to a
+        multiple of the mesh size so every shard gets equal work."""
+        import math
+
+        return math.lcm(4, self.mesh.size) if self.mesh else 4
+
+    def _pack_gop_buffer(self, cm_b, if_b, fp_b, pk_b):
+        """Flatten the GOP-batch arrays into the one-transfer uint8 buffer
+        (see _gop_program).  With a mesh the layout is (ndev, bytes) —
+        each row a contiguous per-shard sub-buffer, so sharding axis 0
+        hands every device exactly its own GOPs."""
+
+        def flat(sl):
+            return np.concatenate([
+                (cm_b[sl] + 128).astype(np.uint8).ravel(), if_b[sl].ravel(),
+                fp_b[sl].ravel(), pk_b[sl].ravel()])
+
+        if self.mesh is None:
+            return flat(slice(None))
+        n = self.mesh.size
+        gs = cm_b.shape[0] // n
+        return np.stack([flat(slice(k * gs, (k + 1) * gs))
+                         for k in range(n)])
 
     @functools.lru_cache(maxsize=16)
     def _gop_program(self, g, t, h, w, cell, n_pick):
@@ -142,9 +184,18 @@ class DMCPredictor:
         tunnel each transfer pays ~25 ms latency, so 4 small arrays cost
         ~110 ms/video while one combined buffer costs one round trip.
         Cell MVs ride as int8+128 (|mv| <= max_mv(cell) <= 56) and picks
-        as uint8 (< 256 frames/GOP); both are exact."""
-        from dmcnet_tpu.ops.pallas_backtrace import backtrace_warp_batch
+        as uint8 (< 256 frames/GOP); both are exact.
 
+        With a mesh, `g` is the GLOBAL padded GOP count (a multiple of
+        mesh.size — see _gop_quant); the same per-shard body runs under
+        shard_map on g/ndev GOPs each, the buffer arriving as one
+        (ndev, bytes) array sharded on axis 0 (_pack_gop_buffer layout).
+        GOPs are independent, so the program has no collectives."""
+        backtrace_warp_batch = self._backtrace
+
+        if self.mesh is not None:
+            assert g % self.mesh.size == 0, (g, self.mesh.size)
+            g = g // self.mesh.size
         size = self.input_size
         scale = float(127.5 / 20.0) if self.mv_minmaxnorm else 0.0
         y0 = max((h - size) // 2, 0)
@@ -154,7 +205,6 @@ class DMCPredictor:
         n_if = g * h * w * 3
         n_fp = g * n_pick * size * size * 3
 
-        @jax.jit
         def fn(buf):
             cell_mvs = (buf[:n_cm].reshape(g, t, ncy, ncx, 2)
                         .astype(jnp.int32) - 128)
@@ -203,7 +253,17 @@ class DMCPredictor:
                 res_u8.reshape((g * n_pick, size, size, 3)))
             return logits, mv_u8, res_u8
 
-        return fn
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import PartitionSpec as P
+
+        ax = self.mesh.axis_names[0]
+        # check_vma off: the pallas back-trace call doesn't annotate
+        # varying-across-mesh metadata on its out shapes; the program is
+        # per-shard independent (no collectives), so the check buys nothing.
+        return jax.jit(jax.shard_map(lambda b: fn(b[0]), mesh=self.mesh,
+                                     in_specs=P(ax), out_specs=P(ax),
+                                     check_vma=False))
 
     def _center_crop(self, arr):
         size = self.input_size
@@ -265,8 +325,12 @@ class DMCPredictor:
         res = np.concatenate(ress)
         n = len(mv)
         # bucket to multiples of 16 clips so videos of similar length share
-        # one compiled executable (padded rows dropped host-side)
-        padded = -(-n // 16) * 16
+        # one compiled executable (padded rows dropped host-side); with a
+        # mesh, lift to a multiple of the mesh size for equal shards
+        import math
+
+        bucket = math.lcm(16, self.mesh.size) if self.mesh else 16
+        padded = -(-n // bucket) * bucket
         if padded != n:
             reps = [1] * (n - 1) + [padded - n + 1]
             mv = np.repeat(mv, reps, axis=0)
@@ -327,7 +391,7 @@ class DMCPredictor:
         tmax = max(f.shape[0] for f in frames_list)
         if tmax > 255:
             return None  # picks ride as uint8 in the combined buffer
-        g_pad = -(-g_real // 4) * 4
+        g_pad = -(-g_real // self._gop_quant) * self._gop_quant
         ncy, ncx = h // cell, w // cell
         size = self.input_size
         cm_b = np.zeros((g_pad, tmax, ncy, ncx, 2), np.int32)
@@ -343,9 +407,7 @@ class DMCPredictor:
             fp_b[i] = self._center_crop(fr[pk])
             pk_b[i] = pk
         fn = self._gop_program(g_pad, tmax, h, w, cell, frames_per_gop)
-        buf = np.concatenate([
-            (cm_b + 128).astype(np.uint8).ravel(), if_b.ravel(),
-            fp_b.ravel(), pk_b.ravel()])
+        buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
         logits, _, _ = fn(jnp.asarray(buf))
         logits = np.asarray(logits).reshape(g_pad, frames_per_gop, -1)
         rows = [logits[i, :k] for i, k in enumerate(counts)]
@@ -388,6 +450,7 @@ class DMCPredictor:
         groups = {}
         for p, (cms, fl, pk, cn, h, w) in pending:
             groups.setdefault((h, w), []).append((p, cms, fl, pk, cn))
+        chunk_gops = -(-chunk_gops // self._gop_quant) * self._gop_quant
         for (h, w), vids in groups.items():
             cell = min(c for _, cms, _, _, _ in vids for _, c in cms)
             tmax = max(f.shape[0] for _, _, fl, _, _ in vids for f in fl)
@@ -414,9 +477,7 @@ class DMCPredictor:
                     if_b[i] = fr[0]
                     fp_b[i] = self._center_crop(fr[pick])
                     pk_b[i] = pick
-                buf = np.concatenate([
-                    (cm_b + 128).astype(np.uint8).ravel(), if_b.ravel(),
-                    fp_b.ravel(), pk_b.ravel()])
+                buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
                 logits, _, _ = fn(jnp.asarray(buf))
                 in_flight.append((logits, chunk))
             for logits, chunk in in_flight:

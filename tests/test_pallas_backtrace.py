@@ -150,6 +150,32 @@ def test_kernel_cell16_matches_cell8_and_golden(rng):
         np.testing.assert_array_equal(res, golden)
 
 
+def test_xla_twin_matches_warp_kernel(rng):
+    """backtrace_warp_batch_xla must be bit-identical to the Mosaic warp
+    kernel — it is the implementation serving uses on non-TPU backends
+    and in CPU mesh tests (the TPU interpreter is not multi-device
+    safe), so this equivalence is what makes those tests cover the
+    sharded kernel path on real TPUs."""
+    import jax.numpy as jnp
+
+    cms, ifs = [], []
+    for g in range(3):
+        blocks, frames = synthetic_gop(rng, num_frames=4, height=48,
+                                       width=64, block_size=16,
+                                       max_motion=20)
+        dense = dense_mv_maps(blocks, 48, 64)
+        cell_mv, ok = pb.cell_mv_from_dense(dense)
+        assert ok
+        cms.append(cell_mv)
+        ifs.append(frames[0].transpose(2, 0, 1).astype(np.int32))
+    cm = jnp.asarray(np.stack(cms))
+    ifr = jnp.asarray(np.stack(ifs))
+    accu_k, warp_k = pb.backtrace_warp_batch(cm, ifr, 48, 64)
+    accu_x, warp_x = pb.backtrace_warp_batch_xla(cm, ifr, 48, 64)
+    np.testing.assert_array_equal(np.asarray(accu_x), np.asarray(accu_k))
+    np.testing.assert_array_equal(np.asarray(warp_x), np.asarray(warp_k))
+
+
 def test_fallback_on_inconsistent_cells(rng):
     dense = np.zeros((3, 16, 16, 2), np.int32)
     dense[1, 0, 0] = (1, 0)  # two different nonzero values in one cell

@@ -155,3 +155,39 @@ def test_predict_videos_batched(tmp_path):
     host = [pred.predict_video(p, backend="host") for p in paths]
     for b, hsc in zip(batched, host):
         np.testing.assert_allclose(b, hsc, atol=0.05)
+
+
+def test_predict_mesh_sharded_matches_single(tmp_path):
+    """Serving scale-out: a predictor given a mesh shards clip batches
+    (host path) and GOP batches (device-backtrace path) across devices;
+    scores must match the single-device predictor on both backends.
+
+    The device-backend comparison runs both predictors on the XLA
+    back-trace twin: the TPU interpreter deadlocks when several CPU
+    device programs run it concurrently (1-core host), and
+    test_pallas_backtrace.py already pins twin == Mosaic kernel, so the
+    chain covers the sharded kernel path on real TPUs."""
+    from dmcnet_tpu.ops.pallas_backtrace import backtrace_warp_batch_xla
+    from dmcnet_tpu.parallel import make_mesh
+
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"v{i}.avi"
+        _encode_panning(str(p), np.random.default_rng(20 + i),
+                        n=14 + 12 * i)
+        paths.append(str(p))
+    pred = _make_predictor(backtrace_impl=backtrace_warp_batch_xla)
+    pred_mesh = _make_predictor(mesh=make_mesh(),
+                                backtrace_impl=backtrace_warp_batch_xla)
+
+    for p in paths:
+        np.testing.assert_allclose(
+            pred_mesh.predict_video(p, backend="host"),
+            pred.predict_video(p, backend="host"), atol=1e-4)
+    single = [pred.predict_video(p, backend="device") for p in paths]
+    sharded = [pred_mesh.predict_video(p, backend="device")
+               for p in paths]
+    batched = pred_mesh.predict_videos(paths, chunk_gops=4)
+    for a, b, c in zip(sharded, single, batched):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+        np.testing.assert_allclose(c, b, atol=1e-4)
