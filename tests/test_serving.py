@@ -157,6 +157,39 @@ def test_predict_videos_batched(tmp_path):
         np.testing.assert_allclose(b, hsc, atol=0.05)
 
 
+def test_predict_videos_mixed_geometry_and_fallback(tmp_path, monkeypatch):
+    """predict_videos compiles one GOP program per (h, w) geometry group
+    and, under backend="auto", falls back to the host-accumulate path for
+    exactly the videos whose streams disqualify — scores stay aligned
+    with `paths` across both groups and the fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dmcnet_tpu.serving import DMCPredictor
+
+    p_a = str(tmp_path / "a.avi")
+    _encode_panning(p_a, np.random.default_rng(30), n=14)
+    p_b = str(tmp_path / "b.avi")
+    _encode_panning(p_b, np.random.default_rng(31), n=14, h=48, w=64)
+    p_c = str(tmp_path / "c.avi")
+    _encode_panning(p_c, np.random.default_rng(32), n=26)
+    pred = _make_predictor()
+
+    orig = DMCPredictor._gather_video_device
+
+    def gather(self, path, fpg):
+        return None if path == p_c else orig(self, path, fpg)
+
+    monkeypatch.setattr(DMCPredictor, "_gather_video_device", gather)
+    with pltpu.force_tpu_interpret_mode():
+        batched = pred.predict_videos([p_a, p_b, p_c], chunk_gops=4)
+    host = [pred.predict_video(p, backend="host")
+            for p in (p_a, p_b, p_c)]
+    for b, hsc in zip(batched, host):
+        np.testing.assert_allclose(b, hsc, atol=0.05)
+    # the disqualified video took the host path exactly
+    np.testing.assert_allclose(batched[2], host[2], atol=1e-6)
+
+
 def test_predict_mesh_sharded_matches_single(tmp_path):
     """Serving scale-out: a predictor given a mesh shards clip batches
     (host path) and GOP batches (device-backtrace path) across devices;
