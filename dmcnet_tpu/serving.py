@@ -68,18 +68,23 @@ class DMCPredictor:
         # until the host-side score averaging.
         self.mesh = mesh
         # Back-trace implementation for the device path; defaults to the
-        # Mosaic kernel. Pass ops.pallas_backtrace.backtrace_warp_batch_xla
-        # on non-TPU backends (bit-identical, tested).
+        # Mosaic kernel on TPU and to its XLA twin (bit-identical, tested)
+        # elsewhere — Pallas has no CPU/GPU lowering outside interpret mode.
         if backtrace_impl is None:
-            from dmcnet_tpu.ops.pallas_backtrace import backtrace_warp_batch
-            backtrace_impl = backtrace_warp_batch
+            from dmcnet_tpu.ops.pallas_backtrace import (
+                backtrace_warp_batch,
+                backtrace_warp_batch_xla,
+            )
+            backtrace_impl = (backtrace_warp_batch
+                              if jax.default_backend() == "tpu"
+                              else backtrace_warp_batch_xla)
         self._backtrace = backtrace_impl
 
     @classmethod
     def from_checkpoint(cls, path, num_class=51, **kwargs):
         """Load a framework checkpoint or a reference .pth.tar."""
-        from dmcnet_tpu.train.checkpoints import load_checkpoint
-        from dmcnet_tpu.train.engine import TrainState, create_train_state
+        from dmcnet_tpu.train.checkpoints import load_checkpoint_params
+        from dmcnet_tpu.train.engine import TrainState
 
         model = DMCNet(num_class=num_class, num_segments=1,
                        arch=kwargs.get("arch", "resnet18"),
@@ -94,7 +99,9 @@ class DMCPredictor:
                            batch_stats=variables.get("batch_stats", {}),
                            opt_cls=None, opt_gf=None)
         try:
-            state, _ = load_checkpoint(state, path)
+            # params/batch_stats only: serving templates carry no optimizer
+            # moments, training checkpoints do
+            state, _ = load_checkpoint_params(state, path)
         except Exception:
             from dmcnet_tpu.train.checkpoints import load_reference_weights
             params, bstats, _, _ = load_reference_weights(state, None, path)

@@ -1,0 +1,76 @@
+"""cli/serve.py end-to-end: checkpoint + synthetic videos -> scores npz.
+
+The output must stay combine-compatible (reference test.py:183-198 layout)
+so run_combine.sh fuses it unchanged.
+"""
+
+import numpy as np
+
+from tests.test_serving import _encode_panning
+
+
+def _save_tiny_checkpoint(tmp_path, num_class=5, hw=64):
+    import jax
+    import jax.numpy as jnp
+
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.train.checkpoints import save_checkpoint
+    from dmcnet_tpu.train.engine import TrainState
+
+    model = DMCNet(num_class=num_class, num_segments=1,
+                   arch_estimator="DenseNetTiny", gen_flow_or_delta=1)
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 1, hw, hw, 2)),
+                           jnp.zeros((1, 1, hw, hw, 3)), train=False)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_cls=None, opt_gf=None)
+    ckpt = str(tmp_path / "serve_checkpoint.pth.tar")
+    save_checkpoint(state, {"epoch": 1, "best_prec1": 0.0}, ckpt)
+    return ckpt
+
+
+def test_serve_cli_list_and_npz(tmp_path, capsys):
+    from dmcnet_tpu.cli import serve
+
+    for i in range(3):
+        _encode_panning(str(tmp_path / f"v{i}.avi"),
+                        np.random.default_rng(40 + i), n=14)
+    with open(tmp_path / "list.txt", "w") as f:
+        for i in range(3):
+            f.write(f"v{i}.avi 0 {i % 2}\n")
+    ckpt = _save_tiny_checkpoint(tmp_path)
+
+    out = str(tmp_path / "scores.npz")
+    scores = serve.main([
+        "--weights", ckpt, "--num-class", "5",
+        "--data-root", str(tmp_path), "--test-list",
+        str(tmp_path / "list.txt"), "--input_size", "64",
+        "--frames-per-gop", "2", "--chunk-gops", "8",
+        "--save-scores", out,
+    ])
+    assert len(scores) == 3
+    assert all(s.shape == (5,) and np.isfinite(s).all() for s in scores)
+    printed = capsys.readouterr().out
+    assert "videos/sec" in printed and "Accuracy" in printed
+
+    # combine-compatible layout: object array of ((1, C), label) pairs
+    # in sorted-name order, plus labels and names arrays.
+    data = np.load(out, allow_pickle=True)
+    assert list(data["names"]) == ["v0.avi", "v1.avi", "v2.avi"]
+    assert list(data["labels"]) == [0, 1, 0]
+    pair = data["scores"][1]
+    assert pair[0].shape == (1, 5) and pair[1] == 1
+    np.testing.assert_allclose(pair[0][0], scores[1], rtol=1e-6)
+
+
+def test_serve_cli_bare_paths(tmp_path, capsys):
+    from dmcnet_tpu.cli import serve
+
+    p = str(tmp_path / "x.avi")
+    _encode_panning(p, np.random.default_rng(50), n=14)
+    ckpt = _save_tiny_checkpoint(tmp_path)
+    scores = serve.main(["--weights", ckpt, "--num-class", "5",
+                         "--input_size", "64", p])
+    assert len(scores) == 1 and scores[0].shape == (5,)
+    assert "pred=" in capsys.readouterr().out
