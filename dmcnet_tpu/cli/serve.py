@@ -59,6 +59,10 @@ def build_parser():
                         help='device = back-trace on the accelerator from '
                              'MV block lists; host = native accumulate; '
                              'auto = device with per-video fallback')
+    parser.add_argument('--host-workers', type=int, default=0,
+                        help='threads for the per-video host gather '
+                             '(entropy decode runs GIL-free; scales with '
+                             'host cores)')
     parser.add_argument('--chunk-gops', type=int, default=64,
                         help='GOPs per device program (predict_videos '
                              'batching quantum)')
@@ -126,7 +130,8 @@ def main(argv=None):
     scores = predictor.predict_videos(paths,
                                       frames_per_gop=args.frames_per_gop,
                                       backend=args.backend,
-                                      chunk_gops=args.chunk_gops)
+                                      chunk_gops=args.chunk_gops,
+                                      host_workers=args.host_workers)
     dt = time.time() - t0
     print(f"scored {len(paths)} videos in {dt:.2f}s "
           f"({len(paths) / dt:.2f} videos/sec)")

@@ -421,7 +421,7 @@ class DMCPredictor:
         return np.concatenate(rows).mean(axis=0)
 
     def predict_videos(self, paths, frames_per_gop=3, backend="auto",
-                       chunk_gops=64):
+                       chunk_gops=64, host_workers=0):
         """Batched whole-video inference: GOPs of MANY videos share device
         calls, in fixed `chunk_gops`-GOP chunks (one compiled program per
         (h, w) geometry).  Behind an RPC device boundary each call pays a
@@ -429,18 +429,34 @@ class DMCPredictor:
         idle between videos; chunking amortizes it and lets the device
         queue pipeline chunk i+1's transfer under chunk i's compute.
 
+        `host_workers` > 1 threads the per-video host gather (entropy
+        decode + block-list -> cell-grid): the native decode runs outside
+        the GIL (codec/native), so this scales with host cores.  Results
+        are deterministic — gather order does not affect scores (each
+        video's GOPs stay contiguous in submission order).
+
         Returns a list of score vectors aligned with `paths`.  Videos that
         disqualify from the device path (see predict_video) fall back to
         the host-accumulate path individually."""
         results = {}
         pending = []
-        for p in paths:
-            gathered = None
-            if backend in ("auto", "device"):
-                try:
-                    gathered = self._gather_video_device(p, frames_per_gop)
-                except Exception:
-                    gathered = None
+
+        def gather_one(p):
+            if backend not in ("auto", "device"):
+                return None
+            try:
+                return self._gather_video_device(p, frames_per_gop)
+            except Exception:
+                return None
+
+        if host_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=host_workers) as pool:
+                gathered_all = list(pool.map(gather_one, paths))
+        else:
+            gathered_all = map(gather_one, paths)
+        for p, gathered in zip(paths, gathered_all):
             tmax_v = (max(f.shape[0] for f in gathered[1])
                       if gathered else 0)
             if gathered is None or tmax_v > 255:

@@ -224,3 +224,19 @@ def test_predict_mesh_sharded_matches_single(tmp_path):
     for a, b, c in zip(sharded, single, batched):
         np.testing.assert_allclose(a, b, atol=1e-4)
         np.testing.assert_allclose(c, b, atol=1e-4)
+
+
+def test_predict_videos_threaded_gather(tmp_path):
+    """host_workers threads the per-video gather (GIL-free native decode);
+    scores are bit-identical to the serial gather."""
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"tw{i}.avi"
+        _encode_panning(str(p), np.random.default_rng(70 + i),
+                        n=14 + 6 * (i % 2))
+        paths.append(str(p))
+    pred = _make_predictor()
+    serial = pred.predict_videos(paths, chunk_gops=4)
+    threaded = pred.predict_videos(paths, chunk_gops=4, host_workers=4)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
