@@ -75,6 +75,10 @@ def build_parser():
     parser.add_argument('--save-scores', type=str, default=None,
                         help='combine-compatible npz (reference '
                              'test.py:183-198 layout)')
+    parser.add_argument('--on-error', type=str, default='raise',
+                        choices=['raise', 'zero'],
+                        help='zero = keep the batch alive through corrupt '
+                             'videos (zero scores + stderr report)')
     return parser
 
 
@@ -131,7 +135,8 @@ def main(argv=None):
                                       frames_per_gop=args.frames_per_gop,
                                       backend=args.backend,
                                       chunk_gops=args.chunk_gops,
-                                      host_workers=args.host_workers)
+                                      host_workers=args.host_workers,
+                                      on_error=args.on_error)
     dt = time.time() - t0
     print(f"scored {len(paths)} videos in {dt:.2f}s "
           f"({len(paths) / dt:.2f} videos/sec)")

@@ -421,7 +421,7 @@ class DMCPredictor:
         return np.concatenate(rows).mean(axis=0)
 
     def predict_videos(self, paths, frames_per_gop=3, backend="auto",
-                       chunk_gops=64, host_workers=0):
+                       chunk_gops=64, host_workers=0, on_error="raise"):
         """Batched whole-video inference: GOPs of MANY videos share device
         calls, in fixed `chunk_gops`-GOP chunks (one compiled program per
         (h, w) geometry).  Behind an RPC device boundary each call pays a
@@ -435,11 +435,18 @@ class DMCPredictor:
         are deterministic — gather order does not affect scores (each
         video's GOPs stay contiguous in submission order).
 
+        `on_error="zero"` keeps a batch alive through unreadable/corrupt
+        videos: their score is a zero vector (argmax 0, harmless in late
+        fusion) and the failure is reported on stderr — the data-level
+        fault-tolerance stance of the reference pipelines (zero-fill in
+        dmcnet dataset.py:191-193, retry/backup in I3D video_iterator).
+
         Returns a list of score vectors aligned with `paths`.  Videos that
         disqualify from the device path (see predict_video) fall back to
         the host-accumulate path individually."""
         results = {}
         pending = []
+        failed = []
 
         def gather_one(p):
             if backend not in ("auto", "device"):
@@ -464,8 +471,18 @@ class DMCPredictor:
                     raise ValueError(
                         f"{p}: stream does not qualify for the device "
                         "back-trace path")
-                results[p] = self.predict_video(p, frames_per_gop,
-                                                backend="host")
+                try:
+                    results[p] = self.predict_video(p, frames_per_gop,
+                                                    backend="host")
+                except Exception as exc:
+                    if on_error != "zero":
+                        raise
+                    import sys
+
+                    print(f"predict_videos: {p} failed ({exc!r}); "
+                          "scoring zeros", file=sys.stderr)
+                    failed.append(p)
+                    results[p] = None
             else:
                 pending.append((p, gathered))
 
@@ -510,4 +527,7 @@ class DMCPredictor:
                     per_video[p].append(lg[i, :count])
             for p, rows in per_video.items():
                 results[p] = np.concatenate(rows).mean(axis=0)
+        if failed:
+            zero = np.zeros(self.model.num_class, np.float32)
+            results.update({p: zero for p in failed})
         return [results[p] for p in paths]

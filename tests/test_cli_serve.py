@@ -74,3 +74,28 @@ def test_serve_cli_bare_paths(tmp_path, capsys):
                          "--input_size", "64", p])
     assert len(scores) == 1 and scores[0].shape == (5,)
     assert "pred=" in capsys.readouterr().out
+
+
+def test_serve_cli_on_error_zero(tmp_path, capsys):
+    """A corrupt video zero-scores instead of killing the batch when
+    --on-error zero (reference stance: dmcnet dataset.py zero-fill)."""
+    import pytest
+
+    from dmcnet_tpu.cli import serve
+
+    good = str(tmp_path / "good.avi")
+    _encode_panning(good, np.random.default_rng(90), n=14)
+    bad = str(tmp_path / "bad.avi")
+    with open(bad, "wb") as f:
+        f.write(b"\x00garbage-not-a-video\xff" * 64)
+    ckpt = _save_tiny_checkpoint(tmp_path)
+
+    with pytest.raises(Exception):
+        serve.main(["--weights", ckpt, "--num-class", "5",
+                    "--input_size", "64", good, bad])
+
+    scores = serve.main(["--weights", ckpt, "--num-class", "5",
+                         "--input_size", "64", "--on-error", "zero",
+                         good, bad])
+    assert np.isfinite(scores[0]).all() and np.any(scores[0] != 0)
+    np.testing.assert_array_equal(scores[1], np.zeros(5, np.float32))
