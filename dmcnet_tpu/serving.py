@@ -82,8 +82,14 @@ class DMCPredictor:
 
     @classmethod
     def from_checkpoint(cls, path, num_class=51, **kwargs):
-        """Load a framework checkpoint or a reference .pth.tar."""
-        from dmcnet_tpu.train.checkpoints import load_checkpoint_params
+        """Load a framework checkpoint (msgpack file or orbax directory)
+        or a reference .pth.tar."""
+        import os
+
+        from dmcnet_tpu.train.checkpoints import (
+            load_checkpoint_params,
+            load_checkpoint_params_orbax,
+        )
         from dmcnet_tpu.train.engine import TrainState
 
         model = DMCNet(num_class=num_class, num_segments=1,
@@ -101,7 +107,10 @@ class DMCPredictor:
         try:
             # params/batch_stats only: serving templates carry no optimizer
             # moments, training checkpoints do
-            state, _ = load_checkpoint_params(state, path)
+            if os.path.isdir(path):
+                state, _ = load_checkpoint_params_orbax(state, path)
+            else:
+                state, _ = load_checkpoint_params(state, path)
         except Exception:
             from dmcnet_tpu.train.checkpoints import load_reference_weights
             params, bstats, _, _ = load_reference_weights(state, None, path)

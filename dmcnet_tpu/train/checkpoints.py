@@ -93,6 +93,25 @@ def load_checkpoint_orbax(state_template, directory):
     return state, meta
 
 
+def load_checkpoint_params_orbax(state_template, directory):
+    """Orbax twin of load_checkpoint_params: restore only params and
+    batch_stats from a directory checkpoint whose optimizer states may not
+    match the template (serving loads with opt_cls=None)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.join(path, "state"))
+    params = serialization.from_state_dict(state_template.params,
+                                           raw["params"])
+    bstats = serialization.from_state_dict(state_template.batch_stats,
+                                           raw["batch_stats"])
+    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    return (state_template.replace(params=params, batch_stats=bstats),
+            meta)
+
+
 def load_reference_weights(state, model_variables_template, path):
     """Partial-init from a reference torch checkpoint (--weights semantics:
     prefix-stripped, non-strict; train.py:64-68).  Returns updated

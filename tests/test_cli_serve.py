@@ -99,3 +99,35 @@ def test_serve_cli_on_error_zero(tmp_path, capsys):
                          good, bad])
     assert np.isfinite(scores[0]).all() and np.any(scores[0] != 0)
     np.testing.assert_array_equal(scores[1], np.zeros(5, np.float32))
+
+
+def test_serve_from_orbax_checkpoint(tmp_path):
+    """A --ckpt-backend orbax training checkpoint (directory) serves
+    directly: from_checkpoint restores params/batch_stats only, ignoring
+    optimizer moments absent from the serving template."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.serving import DMCPredictor
+    from dmcnet_tpu.train.checkpoints import save_checkpoint_orbax
+    from dmcnet_tpu.train.engine import TrainState
+
+    hw, num_class = 64, 5
+    model = DMCNet(num_class=num_class, num_segments=1,
+                   arch_estimator="DenseNetTiny", gen_flow_or_delta=1)
+    variables = model.init(jax.random.key(1),
+                           jnp.zeros((1, 1, hw, hw, 2)),
+                           jnp.zeros((1, 1, hw, hw, 3)), train=False)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_cls={"mu": np.ones(3)}, opt_gf={"nu": np.ones(2)})
+    ckdir = str(tmp_path / "orbax_ck")
+    save_checkpoint_orbax(state, {"epoch": 2}, ckdir)
+
+    pred = DMCPredictor.from_checkpoint(ckdir, num_class=num_class,
+                                        input_size=hw)
+    p = str(tmp_path / "v.avi")
+    _encode_panning(p, np.random.default_rng(99), n=14)
+    scores = pred.predict_video(p, backend="host")
+    assert scores.shape == (num_class,) and np.isfinite(scores).all()
