@@ -75,6 +75,11 @@ def build_parser():
     parser.add_argument('--save-scores', type=str, default=None,
                         help='combine-compatible npz (reference '
                              'test.py:183-198 layout)')
+    parser.add_argument('--warmup', type=str, default=None,
+                        help='comma-separated HxW stream geometries to '
+                             'precompile before scoring, e.g. '
+                             '"256x320,240x320" (first-compile through a '
+                             'remote TPU helper can take minutes)')
     parser.add_argument('--on-error', type=str, default='raise',
                         choices=['raise', 'zero'],
                         help='zero = keep the batch alive through corrupt '
@@ -129,6 +134,14 @@ def main(argv=None):
         gen_flow_or_delta=args.gen_flow_or_delta,
         mv_minmaxnorm=args.mv_minmaxnorm, input_size=args.input_size,
         pack=not args.no_pack, mesh=mesh)
+
+    if args.warmup:
+        geoms = [tuple(int(v) for v in g.split('x'))
+                 for g in args.warmup.split(',')]
+        t0 = time.time()
+        predictor.warmup(geometries=geoms, chunk_gops=args.chunk_gops,
+                         frames_per_gop=args.frames_per_gop)
+        print(f"warmed {len(geoms)} geometries in {time.time() - t0:.1f}s")
 
     t0 = time.time()
     scores = predictor.predict_videos(paths,

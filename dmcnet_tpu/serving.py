@@ -281,6 +281,41 @@ class DMCPredictor:
                                      in_specs=P(ax), out_specs=P(ax),
                                      check_vma=False))
 
+    def warmup(self, geometries=((256, 320),), t=12, cell=16,
+               frames_per_gop=3, chunk_gops=64, host_buckets=(16,)):
+        """Precompile the serving programs so live traffic never pays an
+        XLA compile (first-compile through the remote TPU helper can take
+        minutes; steady-state requests are milliseconds).
+
+        `geometries` are the (height, width) stream shapes expected in
+        production, `t` the typical GOP length, `cell` the MV cell size
+        (16 covers MPEG-4 1MV streams; 8 when 4MV blocks appear),
+        `chunk_gops` must match the later `predict_videos` argument.
+        `host_buckets` precompiles the host-fallback classifier at the
+        given padded clip counts (`predict_video` buckets to 16).
+        """
+        quant = self._gop_quant
+        g = -(-chunk_gops // quant) * quant
+        size = self.input_size
+        for h, w in geometries:
+            fn = self._gop_program(g, t, h, w, cell, frames_per_gop)
+            cm_b = np.zeros((g, t, h // cell, w // cell, 2), np.int32)
+            if_b = np.zeros((g, h, w, 3), np.uint8)
+            fp_b = np.zeros((g, frames_per_gop, size, size, 3), np.uint8)
+            pk_b = np.ones((g, frames_per_gop), np.uint8)
+            buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
+            logits, _, _ = fn(jnp.asarray(buf))
+            jax.block_until_ready(logits)
+        import math
+
+        bucket = math.lcm(16, self.mesh.size) if self.mesh else 16
+        for n in host_buckets:
+            n = -(-int(n) // bucket) * bucket
+            out = self._classify(
+                jnp.zeros((n, size, size, 2), jnp.uint8),
+                jnp.zeros((n, size, size, 3), jnp.uint8))
+            jax.block_until_ready(out)
+
     def _center_crop(self, arr):
         size = self.input_size
         h, w = arr.shape[1:3]

@@ -240,3 +240,17 @@ def test_predict_videos_threaded_gather(tmp_path):
     threaded = pred.predict_videos(paths, chunk_gops=4, host_workers=4)
     for a, b in zip(serial, threaded):
         np.testing.assert_array_equal(a, b)
+
+
+def test_warmup_precompiles(tmp_path):
+    """warmup() populates the GOP-program cache so live requests with the
+    same geometry never pay a compile."""
+    pred = _make_predictor()
+    before = pred._gop_program.cache_info().currsize
+    pred.warmup(geometries=((64, 96),), t=12, cell=16, chunk_gops=4,
+                host_buckets=(4,))
+    info = pred._gop_program.cache_info()
+    assert info.currsize == before + 1
+    hits = info.hits
+    pred._gop_program(4, 12, 64, 96, 16, 3)
+    assert pred._gop_program.cache_info().hits == hits + 1
