@@ -2,7 +2,13 @@
 
 import sys
 
-from dmcnet_tpu.cli.train_i3d import main
+from dmcnet_tpu.cli.train_i3d import main as _i3d_main
+
+
+def main(argv=None, **kwargs):
+    kwargs.setdefault("dataset_default", "HMDB51")
+    return _i3d_main(argv, **kwargs)
+
 
 if __name__ == "__main__":
-    main(sys.argv[1:], dataset_default="HMDB51")
+    main(sys.argv[1:])

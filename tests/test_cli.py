@@ -77,3 +77,41 @@ def test_combine_on_own_npz(tmp_path):
              + np.stack([o[0][0] for o in per_mod["flow"]]))
     expect = np.mean(np.argmax(fused, 1) == np.arange(6) % 3)
     assert n == 6 and abs(acc - expect) < 1e-9
+
+
+def test_top_level_dispatcher(capsys):
+    """python -m dmcnet_tpu <command> routes to the right driver with the
+    alias kwargs (gan=True, dataset defaults) preserved."""
+    from dmcnet_tpu import __main__ as top
+
+    assert top.main([]) == 0
+    assert "serve" in capsys.readouterr().out
+    assert top.main(["not-a-command"]) == 2
+
+    from dmcnet_tpu.cli import train_gan, train_hmdb51, train_ucf101
+    seen = {}
+
+    def fake_train(argv=None, **kw):
+        seen.update(kw)
+        return 0
+
+    import dmcnet_tpu.cli.train_gan as tg
+    orig = tg._train_main
+    tg._train_main = fake_train
+    try:
+        train_gan.main([])
+        assert seen.get("gan") is True
+    finally:
+        tg._train_main = orig
+
+    import dmcnet_tpu.cli.train_hmdb51 as th
+    import dmcnet_tpu.cli.train_ucf101 as tu
+    for mod, want in ((th, "HMDB51"), (tu, "UCF101")):
+        seen.clear()
+        orig = mod._i3d_main
+        mod._i3d_main = fake_train
+        try:
+            mod.main([])
+            assert seen.get("dataset_default") == want
+        finally:
+            mod._i3d_main = orig

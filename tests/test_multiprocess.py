@@ -42,7 +42,7 @@ def test_two_process_train_step_matches_single(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in (0, 1)
     ]
-    logs = [w.communicate(timeout=540)[0].decode() for w in workers]
+    logs = [w.communicate(timeout=900)[0].decode() for w in workers]
     for w, log in zip(workers, logs):
         assert w.returncode == 0, log[-3000:]
     got = np.load(out)
@@ -117,7 +117,7 @@ def test_two_process_i3d_step_matches_single(tmp_path):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in (0, 1)
     ]
-    logs = [w.communicate(timeout=540)[0].decode() for w in workers]
+    logs = [w.communicate(timeout=900)[0].decode() for w in workers]
     for w, log in zip(workers, logs):
         assert w.returncode == 0, log[-3000:]
     got = np.load(out)
