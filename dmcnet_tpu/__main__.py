@@ -35,7 +35,10 @@ def main(argv=None):
         print(f"unknown command {cmd!r}; choose from "
               f"{', '.join(COMMANDS)}", file=sys.stderr)
         return 2
-    return importlib.import_module(COMMANDS[cmd]).main(rest)
+    # Drivers return domain values (accuracy, scores) for programmatic
+    # callers — not exit codes; completing without an exception is success.
+    result = importlib.import_module(COMMANDS[cmd]).main(rest)
+    return result if isinstance(result, int) else 0
 
 
 if __name__ == "__main__":

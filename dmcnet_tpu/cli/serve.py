@@ -76,9 +76,12 @@ def build_parser():
                         help='combine-compatible npz (reference '
                              'test.py:183-198 layout)')
     parser.add_argument('--warmup', type=str, default=None,
-                        help='comma-separated HxW stream geometries to '
-                             'precompile before scoring, e.g. '
-                             '"256x320,240x320" (first-compile through a '
+                        help='comma-separated stream geometries to '
+                             'precompile before scoring, each '
+                             'HxW[:gop_len[:cell]] (defaults 12, 16) — '
+                             'e.g. "256x320,240x320:12:8"; gop_len/cell '
+                             'must match the streams or the warm misses '
+                             'the program cache (first compile through a '
                              'remote TPU helper can take minutes)')
     parser.add_argument('--on-error', type=str, default='raise',
                         choices=['raise', 'zero'],
@@ -136,8 +139,12 @@ def main(argv=None):
         pack=not args.no_pack, mesh=mesh)
 
     if args.warmup:
-        geoms = [tuple(int(v) for v in g.split('x'))
-                 for g in args.warmup.split(',')]
+        def parse_geom(g):
+            hw, *rest = g.split(':')
+            return tuple(int(v) for v in hw.split('x')) \
+                + tuple(int(v) for v in rest)
+
+        geoms = [parse_geom(g) for g in args.warmup.split(',')]
         t0 = time.time()
         predictor.warmup(geometries=geoms, chunk_gops=args.chunk_gops,
                          frames_per_gop=args.frames_per_gop)

@@ -104,17 +104,22 @@ class DMCPredictor:
         state = TrainState(params=variables["params"],
                            batch_stats=variables.get("batch_stats", {}),
                            opt_cls=None, opt_gf=None)
-        try:
-            # params/batch_stats only: serving templates carry no optimizer
-            # moments, training checkpoints do
-            if os.path.isdir(path):
-                state, _ = load_checkpoint_params_orbax(state, path)
-            else:
+        # params/batch_stats only: serving templates carry no optimizer
+        # moments, training checkpoints do
+        if os.path.isdir(path):
+            # a directory can only be orbax — no .pth.tar fallback, so a
+            # restore failure surfaces as itself, not a pickle error
+            state, _ = load_checkpoint_params_orbax(state, path)
+        else:
+            try:
                 state, _ = load_checkpoint_params(state, path)
-        except Exception:
-            from dmcnet_tpu.train.checkpoints import load_reference_weights
-            params, bstats, _, _ = load_reference_weights(state, None, path)
-            state = state.replace(params=params, batch_stats=bstats)
+            except Exception:
+                from dmcnet_tpu.train.checkpoints import (
+                    load_reference_weights,
+                )
+                params, bstats, _, _ = load_reference_weights(state, None,
+                                                              path)
+                state = state.replace(params=params, batch_stats=bstats)
         return cls(state.params, state.batch_stats, num_class=num_class,
                    **kwargs)
 
@@ -158,6 +163,15 @@ class DMCPredictor:
         import math
 
         return math.lcm(4, self.mesh.size) if self.mesh else 4
+
+    @property
+    def _clip_bucket(self):
+        """Host-path clip-batch quantum: 16 (executable bucketing) lifted
+        to a multiple of the mesh size.  Shared by predict_video and
+        warmup so precompiled executables match live requests."""
+        import math
+
+        return math.lcm(16, self.mesh.size) if self.mesh else 16
 
     def _pack_gop_buffer(self, cm_b, if_b, fp_b, pk_b):
         """Flatten the GOP-batch arrays into the one-transfer uint8 buffer
@@ -287,30 +301,34 @@ class DMCPredictor:
         XLA compile (first-compile through the remote TPU helper can take
         minutes; steady-state requests are milliseconds).
 
-        `geometries` are the (height, width) stream shapes expected in
-        production, `t` the typical GOP length, `cell` the MV cell size
-        (16 covers MPEG-4 1MV streams; 8 when 4MV blocks appear),
-        `chunk_gops` must match the later `predict_videos` argument.
-        `host_buckets` precompiles the host-fallback classifier at the
-        given padded clip counts (`predict_video` buckets to 16).
+        `geometries` are the stream shapes expected in production, as
+        (height, width) or (height, width, t[, cell]) tuples; the
+        program cache key is (gops, t, h, w, cell, picks), so t and cell
+        must match live traffic for the warm to hit — `t` is the MAX GOP
+        frame count of the stream (12 for the standard GOP-12 encodes)
+        and `cell` the MV cell size (16 covers MPEG-4 1MV streams; 8
+        when 4MV blocks appear).  `chunk_gops` must match the later
+        `predict_videos` argument.  `host_buckets` precompiles the
+        host-fallback classifier at the given padded clip counts
+        (`predict_video` buckets to 16).
         """
         quant = self._gop_quant
         g = -(-chunk_gops // quant) * quant
         size = self.input_size
-        for h, w in geometries:
-            fn = self._gop_program(g, t, h, w, cell, frames_per_gop)
-            cm_b = np.zeros((g, t, h // cell, w // cell, 2), np.int32)
+        for geom in geometries:
+            h, w = geom[0], geom[1]
+            t_g = geom[2] if len(geom) > 2 else t
+            cell_g = geom[3] if len(geom) > 3 else cell
+            fn = self._gop_program(g, t_g, h, w, cell_g, frames_per_gop)
+            cm_b = np.zeros((g, t_g, h // cell_g, w // cell_g, 2), np.int32)
             if_b = np.zeros((g, h, w, 3), np.uint8)
             fp_b = np.zeros((g, frames_per_gop, size, size, 3), np.uint8)
             pk_b = np.ones((g, frames_per_gop), np.uint8)
             buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
             logits, _, _ = fn(jnp.asarray(buf))
             jax.block_until_ready(logits)
-        import math
-
-        bucket = math.lcm(16, self.mesh.size) if self.mesh else 16
         for n in host_buckets:
-            n = -(-int(n) // bucket) * bucket
+            n = -(-int(n) // self._clip_bucket) * self._clip_bucket
             out = self._classify(
                 jnp.zeros((n, size, size, 2), jnp.uint8),
                 jnp.zeros((n, size, size, 3), jnp.uint8))
@@ -378,9 +396,7 @@ class DMCPredictor:
         # bucket to multiples of 16 clips so videos of similar length share
         # one compiled executable (padded rows dropped host-side); with a
         # mesh, lift to a multiple of the mesh size for equal shards
-        import math
-
-        bucket = math.lcm(16, self.mesh.size) if self.mesh else 16
+        bucket = self._clip_bucket
         padded = -(-n // bucket) * bucket
         if padded != n:
             reps = [1] * (n - 1) + [padded - n + 1]
@@ -490,15 +506,25 @@ class DMCPredictor:
         the host-accumulate path individually."""
         results = {}
         pending = []
-        failed = []
+
+        def zero_score(p, exc):
+            import sys
+
+            print(f"predict_videos: {p} failed ({exc!r}); scoring zeros",
+                  file=sys.stderr)
+            # fresh array per video: callers may weight scores in place
+            results[p] = np.zeros(self.model.num_class, np.float32)
 
         def gather_one(p):
+            """-> (gathered, None) | (None, exc): keep the real error for
+            the on_error report instead of collapsing it to 'does not
+            qualify'."""
             if backend not in ("auto", "device"):
-                return None
+                return None, None
             try:
-                return self._gather_video_device(p, frames_per_gop)
-            except Exception:
-                return None
+                return self._gather_video_device(p, frames_per_gop), None
+            except Exception as exc:
+                return None, exc
 
         if host_workers > 1:
             from concurrent.futures import ThreadPoolExecutor
@@ -507,26 +533,33 @@ class DMCPredictor:
                 gathered_all = list(pool.map(gather_one, paths))
         else:
             gathered_all = map(gather_one, paths)
-        for p, gathered in zip(paths, gathered_all):
+        for p, (gathered, gather_exc) in zip(paths, gathered_all):
             tmax_v = (max(f.shape[0] for f in gathered[1])
                       if gathered else 0)
             if gathered is None or tmax_v > 255:
                 if backend == "device":
-                    raise ValueError(
+                    # strict device mode: no host fallback, but on_error
+                    # "zero" still keeps the rest of the batch alive
+                    exc = gather_exc or ValueError(
                         f"{p}: stream does not qualify for the device "
                         "back-trace path")
+                    if on_error != "zero":
+                        raise exc
+                    zero_score(p, exc)
+                    continue
                 try:
                     results[p] = self.predict_video(p, frames_per_gop,
                                                     backend="host")
                 except Exception as exc:
-                    if on_error != "zero":
+                    # zero-fill covers DATA errors (the reference's
+                    # stance); device/infra failures (tunnel drop, OOM)
+                    # must still abort — zero-scoring a systemic outage
+                    # would report garbage accuracy as success
+                    infra = "XlaRuntimeError" in type(exc).__name__ \
+                        or isinstance(exc, MemoryError)
+                    if on_error != "zero" or infra:
                         raise
-                    import sys
-
-                    print(f"predict_videos: {p} failed ({exc!r}); "
-                          "scoring zeros", file=sys.stderr)
-                    failed.append(p)
-                    results[p] = None
+                    zero_score(p, exc)
             else:
                 pending.append((p, gathered))
 
@@ -571,7 +604,4 @@ class DMCPredictor:
                     per_video[p].append(lg[i, :count])
             for p, rows in per_video.items():
                 results[p] = np.concatenate(rows).mean(axis=0)
-        if failed:
-            zero = np.zeros(self.model.num_class, np.float32)
-            results.update({p: zero for p in failed})
         return [results[p] for p in paths]

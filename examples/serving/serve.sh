@@ -5,7 +5,7 @@
 # C calls) + combine.py across three processes.
 #
 #   serve.sh <checkpoint> <test-list> <data-root> [mesh-devices]
-set -e
+set -e -o pipefail
 CKPT=$1
 LIST=$2
 ROOT=$3

@@ -131,3 +131,59 @@ def test_serve_from_orbax_checkpoint(tmp_path):
     _encode_panning(p, np.random.default_rng(99), n=14)
     scores = pred.predict_video(p, backend="host")
     assert scores.shape == (num_class,) and np.isfinite(scores).all()
+
+
+def test_dispatcher_exit_code_for_domain_returns(monkeypatch):
+    """Drivers return domain values (floats/lists); the dispatcher must
+    map completion-without-exception to exit status 0."""
+    import dmcnet_tpu.cli.combine as combine_mod
+    from dmcnet_tpu import __main__ as top
+
+    monkeypatch.setattr(combine_mod, "main", lambda argv=None: 0.6405)
+    assert top.main(["combine"]) == 0
+
+
+def test_on_error_zero_device_backend(tmp_path):
+    """Strict device mode + on_error zero: an unreadable video zero-scores
+    instead of aborting the batch; without it the real error surfaces."""
+    import pytest
+
+    from dmcnet_tpu.serving import DMCPredictor
+    from tests.test_serving import _make_predictor
+
+    good = str(tmp_path / "g.avi")
+    _encode_panning(good, np.random.default_rng(101), n=14)
+    bad = str(tmp_path / "b.avi")
+    with open(bad, "wb") as f:
+        f.write(b"nope" * 200)
+    pred = _make_predictor()
+    with pytest.raises(Exception):
+        pred.predict_videos([good, bad], backend="device", chunk_gops=4)
+    scores = pred.predict_videos([good, bad], backend="device",
+                                 chunk_gops=4, on_error="zero")
+    assert np.any(scores[0] != 0)
+    np.testing.assert_array_equal(scores[1], np.zeros(7, np.float32))
+
+
+def test_on_error_zero_reraises_infra_errors(tmp_path, monkeypatch):
+    """Device/infra failures (XlaRuntimeError, OOM) abort even under
+    on_error zero — zero-scoring a systemic outage would report garbage
+    accuracy as success."""
+    import pytest
+
+    from tests.test_serving import _make_predictor
+
+    bad = str(tmp_path / "b.avi")
+    with open(bad, "wb") as f:
+        f.write(b"nope" * 200)
+    pred = _make_predictor()
+
+    class XlaRuntimeError(RuntimeError):
+        pass
+
+    def boom(*a, **k):
+        raise XlaRuntimeError("tunnel dropped")
+
+    monkeypatch.setattr(pred, "predict_video", boom)
+    with pytest.raises(XlaRuntimeError):
+        pred.predict_videos([bad], chunk_gops=4, on_error="zero")
