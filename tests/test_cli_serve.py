@@ -187,3 +187,22 @@ def test_on_error_zero_reraises_infra_errors(tmp_path, monkeypatch):
     monkeypatch.setattr(pred, "predict_video", boom)
     with pytest.raises(XlaRuntimeError):
         pred.predict_videos([bad], chunk_gops=4, on_error="zero")
+
+
+def test_serve_cli_mesh_devices(tmp_path):
+    """--mesh-devices shards GOP batches over the virtual 8-device mesh;
+    scores match the single-device run."""
+    from dmcnet_tpu.cli import serve
+
+    paths = []
+    for i in range(2):
+        p = str(tmp_path / f"m{i}.avi")
+        _encode_panning(p, np.random.default_rng(110 + i), n=14)
+        paths.append(p)
+    ckpt = _save_tiny_checkpoint(tmp_path)
+    base = ["--weights", ckpt, "--num-class", "5", "--input_size", "64",
+            "--chunk-gops", "8"]
+    single = serve.main(base + paths)
+    sharded = serve.main(base + ["--mesh-devices", "8"] + paths)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a, b, atol=1e-4)
