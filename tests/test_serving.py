@@ -254,3 +254,20 @@ def test_warmup_precompiles(tmp_path):
     hits = info.hits
     pred._gop_program(4, 12, 64, 96, 16, 3)
     assert pred._gop_program.cache_info().hits == hits + 1
+
+
+def test_warmup_under_mesh(tmp_path):
+    """warmup on a mesh predictor compiles the sharded GOP program and the
+    sharded classifier bucket without error, and the warmed key is the one
+    predict_videos requests."""
+    from dmcnet_tpu.parallel import make_mesh
+
+    pred = _make_predictor(mesh=make_mesh())
+    pred.warmup(geometries=((64, 96, 12, 16),), chunk_gops=8,
+                host_buckets=(8,))
+    info = pred._gop_program.cache_info()
+    assert info.currsize >= 1
+    hits = info.hits
+    g = -(-8 // pred._gop_quant) * pred._gop_quant
+    pred._gop_program(g, 12, 64, 96, 16, 3)
+    assert pred._gop_program.cache_info().hits == hits + 1
