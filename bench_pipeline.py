@@ -19,10 +19,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
+def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224,
+            gen_s=2):
     from dmcnet_tpu.codec.synthetic import dense_mv_maps, synthetic_gop
     from dmcnet_tpu.models import make_estimator, resnet18
-    from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator
+    from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator, repack
     from dmcnet_tpu.ops.pallas_backtrace import (
         backtrace_warp_batch,
         cell_mv_from_dense,
@@ -52,7 +53,10 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
     gen = make_estimator("DenseNetTiny")
     gen_vars = gen.init(jax.random.key(0),
                         jnp.zeros((1, crop, crop, 5), jnp.float32))
-    packed_gen = PackedDenseEstimator(gen_vars["params"], s=2,
+    # gen_s=4 runs the generator on a 4x4 space-to-depth grid (fewer,
+    # wider convs) and repacks its s=4 output into the s=2 stem layout
+    # (ops/packed_generator.repack, exact)
+    packed_gen = PackedDenseEstimator(gen_vars["params"], s=gen_s,
                                       packed_output=True, fuse_mv_delta=True)
     cls = resnet18(num_classes=51)
     cls_vars = cls.init(jax.random.key(1),
@@ -91,7 +95,10 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
         res_c = res_n.reshape((n_clips, crop, crop, 3))
         # fused packed path: +mv folded into the generator weights, packed
         # 4x4 stem + folded BN in the classifier (ops/packed_resnet.py)
-        return packed_cls(packed_gen(jnp.concatenate([mv_c, res_c], -1)))
+        dmc = packed_gen(jnp.concatenate([mv_c, res_c], -1))
+        if gen_s != 2:
+            dmc = repack(dmc, gen_s, 2, 2)
+        return packed_cls(dmc)
 
     for _ in range(4):
         out = pipeline(cell_mvs, frames)
@@ -113,7 +120,10 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224):
 
 
 def main():
-    print(json.dumps(measure()))
+    import sys
+
+    gen_s = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    print(json.dumps(measure(gen_s=gen_s)))
 
 
 if __name__ == "__main__":

@@ -45,6 +45,23 @@ def depth_to_space(x, s):
     return x.reshape(b, hs * s, ws * s, c)
 
 
+def repack(x, s_from, s_to, c):
+    """Re-express an s_from space-to-depth packing as an s_to packing
+    without a full depth_to_space/space_to_depth round trip:
+    (B, H/s_from, W/s_from, s_from^2*C) -> (B, H/s_to, W/s_to, s_to^2*C).
+
+    Bridges a generator run at s=4 (fewer, wider convs — the faster
+    standalone config, docs/PERF_NOTES.md section 3) into the s=2 packed
+    classifier stem (ops/packed_resnet.py).
+    """
+    assert s_from % s_to == 0, (s_from, s_to)
+    b, hf, wf, _ = x.shape
+    r = s_from // s_to
+    x = x.reshape(b, hf, wf, r, s_to, r, s_to, c)
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)
+    return x.reshape(b, hf * r, wf * r, s_to * s_to * c)
+
+
 def _packed_index(segments, s, p, ci):
     """Packed channel index of (block position p, original channel ci) in a
     packed concat of tensors with original channel counts `segments`."""

@@ -117,3 +117,18 @@ def test_packed_small_family(rng):
                                   widths=(32, 32, 24, 16, 8), s=2,
                                   dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(packed(x)), ref, atol=1e-4)
+
+
+def test_repack_matches_s2d():
+    """repack(s2d(x, 4), 4->2) == s2d(x, 2) exactly, for any channel
+    count — the bridge from an s=4 generator into the s=2 stem."""
+    import numpy as np
+
+    from dmcnet_tpu.ops.packed_generator import repack, space_to_depth
+
+    rng = np.random.default_rng(0)
+    for c in (2, 3):
+        x = rng.normal(size=(2, 16, 24, c)).astype(np.float32)
+        a = np.asarray(repack(space_to_depth(x, 4), 4, 2, c))
+        b = np.asarray(space_to_depth(x, 2))
+        np.testing.assert_array_equal(a, b)
