@@ -206,3 +206,36 @@ def test_serve_cli_mesh_devices(tmp_path):
     sharded = serve.main(base + ["--mesh-devices", "8"] + paths)
     for a, b in zip(single, sharded):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_serve_from_gan_checkpoint(tmp_path):
+    """A GAN-trained checkpoint (extra discriminator params) serves: the
+    params-only loader drops subtrees absent from the serving template."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.serving import DMCPredictor
+    from dmcnet_tpu.train.checkpoints import save_checkpoint
+    from dmcnet_tpu.train.engine import TrainState
+
+    hw, num_class = 64, 5
+    gan = DMCNet(num_class=num_class, num_segments=1,
+                 arch_estimator="DenseNetTiny", gen_flow_or_delta=1,
+                 arch_d="Discriminator4", detach_classifier=False)
+    variables = gan.init(jax.random.key(0),
+                         jnp.zeros((1, 1, hw, hw, 2)),
+                         jnp.zeros((1, 1, hw, hw, 3)), train=False)
+    assert "discriminator" in variables["params"]
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables.get("batch_stats", {}),
+                       opt_cls=None, opt_gf=None)
+    ckpt = str(tmp_path / "gan_checkpoint.pth.tar")
+    save_checkpoint(state, {"epoch": 3}, ckpt)
+
+    pred = DMCPredictor.from_checkpoint(ckpt, num_class=num_class,
+                                        input_size=hw)
+    p = str(tmp_path / "v.avi")
+    _encode_panning(p, np.random.default_rng(120), n=14)
+    scores = pred.predict_video(p, backend="host")
+    assert scores.shape == (num_class,) and np.isfinite(scores).all()
