@@ -73,16 +73,19 @@ def measure(n_videos=4, t=48, h=256, w=320):
     dt_host, s_host = run("host")
     try:
         dt_dev, s_dev = run("device")
-        # same weights, bit-identical u8 inputs (tests/test_serving.py)
-        assert np.allclose(s_dev, s_host, atol=0.05)
         pred.predict_videos(paths[:1], chunk_gops=16)  # compile + warm
         t0 = time.perf_counter()
         batched = pred.predict_videos(paths, frames_per_gop=3,
                                       backend="device", chunk_gops=16)
         dt_batched = time.perf_counter() - t0
-        assert np.allclose(batched[-1], s_host, atol=0.05)
     except Exception:
         dt_dev = dt_batched = None  # disqualified or no Mosaic here
+    if dt_dev is not None:
+        # A/B OUTSIDE the try: a numerically wrong device backend must
+        # fail the bench, not be mislabeled 'disqualified'.  Same
+        # weights, bit-identical u8 inputs (tests/test_serving.py).
+        assert np.allclose(s_dev, s_host, atol=0.05)
+        assert np.allclose(batched[-1], s_host, atol=0.05)
     out = {
         "metric": "e2e_file_to_scores_clips_per_sec",
         "value": round(clips / (dt_dev if dt_dev else dt_host), 1),

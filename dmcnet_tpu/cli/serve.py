@@ -111,8 +111,12 @@ def parse_inputs(args):
         return paths, labels, names
     if not args.videos:
         raise SystemExit("either --test-list or video paths are required")
-    return list(args.videos), None, [os.path.basename(p)
-                                     for p in args.videos]
+    names = [os.path.basename(p) for p in args.videos]
+    if len(set(names)) != len(names):
+        # duplicate basenames would collapse in the sorted-by-name npz
+        # (save_scores_npz keys rows by name), silently dropping scores
+        names = list(args.videos)
+    return list(args.videos), None, names
 
 
 def main(argv=None):

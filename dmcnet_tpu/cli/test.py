@@ -55,10 +55,11 @@ def build_parser():
     parser.add_argument('-j', '--workers', default=1, type=int)
     parser.add_argument('--gpus', nargs='+', type=int, default=None)
     parser.add_argument('--gop', type=int, default=12)
-    parser.add_argument('--viz', type=bool, default=False,
+    parser.add_argument('--viz', type=int, default=0,
                         help='dump a Middlebury color image of the '
                              'generated DMC per video (reference threads '
-                             'viz into the dataset, test.py:55,117)')
+                             'viz into the dataset, test.py:55,117); '
+                             'int, not type=bool: bool("0") is True')
     parser.add_argument('--viz-dir', type=str, default='./viz')
     parser.add_argument('--gen_flow_or_delta', type=int, default=0)
     parser.add_argument('--gen_flow_ds_factor', type=int, default=0)

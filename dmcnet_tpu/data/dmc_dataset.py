@@ -90,10 +90,14 @@ class GopCache:
                 self._insert(key, value)
             return value
         finally:
-            # Always drop the gate — a failed decode (corrupt video) must not
-            # leave a stale Lock that serializes every later attempt forever.
+            # Drop the gate — a failed decode (corrupt video) must not
+            # leave a stale Lock serializing every later attempt — but only
+            # OUR gate: a waiter waking after the owner already popped it
+            # must not remove a successor thread's fresh gate (that would
+            # re-open the duplicate-decode window).
             with self._lock:
-                self._decoding.pop(key, None)
+                if self._decoding.get(key) is gate:
+                    del self._decoding[key]
 
     def _decode(self, reader, gop, accumulate, minmax_bound):
         frames, mv_maps = reader.decode_gop(gop)

@@ -18,6 +18,12 @@ def initialize_distributed(coordinator_address=None, num_processes=None,
                            process_id=None):
     """`jax.distributed.initialize` wrapper; no-op when single-process."""
     if num_processes in (None, 1):
+        if coordinator_address is not None and num_processes is None:
+            # silently ignoring the coordinator would run N UNSYNCED
+            # trainings that overwrite each other's checkpoints
+            raise ValueError(
+                "--dist-coordinator given without --dist-num-processes; "
+                "pass both (and --dist-process-id) to run multi-host")
         return False
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,

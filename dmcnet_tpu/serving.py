@@ -191,8 +191,15 @@ class DMCPredictor:
         return np.stack([flat(slice(k * gs, (k + 1) * gs))
                          for k in range(n)])
 
-    @functools.lru_cache(maxsize=16)
-    def _gop_program(self, g, t, h, w, cell, n_pick):
+    @functools.cached_property
+    def _gop_program(self):
+        """Per-instance memoized program builder: a class-level lru_cache
+        on the bound method would key by self and pin every predictor's
+        params + compiled executables for process lifetime (checkpoint
+        rotation in a long-running server would leak old models)."""
+        return functools.lru_cache(maxsize=16)(self._gop_program_impl)
+
+    def _gop_program_impl(self, g, t, h, w, cell, n_pick):
         """Jitted GOP-batch program: block-list cell MVs + I-frames +
         (host-cropped) picked frames -> (logits, cropped mv_u8, cropped
         res_u8), entirely on device.
@@ -408,11 +415,18 @@ class DMCPredictor:
     def _gather_video_device(self, path, frames_per_gop):
         """Host side of the device-backtrace path for one video: entropy
         decode + block-list -> cell-grid conversion.  Returns
-        (cms, frames_list, picks, counts, h, w) or None when any GOP
-        disqualifies (caller falls back to the host-accumulate path)."""
+        (cms, gop_data, picks, counts, h, w) — gop_data rows are
+        (iframe (H, W, 3), cropped picked frames (P, size, size, 3),
+        gop_len) — or None when any GOP disqualifies (caller falls back
+        to the host-accumulate path).
+
+        Only the I-frame and the cropped picked frames are RETAINED: a
+        whole-split batch would otherwise hold every decoded frame of
+        every video in host RAM (~25x more) until its geometry group is
+        processed."""
         from dmcnet_tpu.ops.pallas_backtrace import cell_mv_from_blocks
 
-        cms, frames_list, picks, counts = [], [], [], []
+        cms, gop_data, picks, counts = [], [], [], []
         with VideoReader(path) as reader:
             h, w = reader.height, reader.width
             for gidx in range(reader.num_gops):
@@ -431,10 +445,11 @@ class DMCPredictor:
                               mode="edge")
                 picks.append(pick)
                 cms.append((cm, cell))
-                frames_list.append(frames)
+                gop_data.append((frames[0], self._center_crop(frames[pick]),
+                                 frames.shape[0]))
         if not cms:
             return None
-        return cms, frames_list, picks, counts, h, w
+        return cms, gop_data, picks, counts, h, w
 
     def _predict_video_device(self, path, frames_per_gop=3):
         """Device-backtrace inference from MV block lists; returns None
@@ -449,13 +464,13 @@ class DMCPredictor:
         gathered = self._gather_video_device(path, frames_per_gop)
         if gathered is None:
             return None
-        cms, frames_list, picks, counts, h, w = gathered
+        cms, gop_data, picks, counts, h, w = gathered
         # Unify cell sizes: a 16-cell grid expands exactly to 8 (uniform).
         cell = min(c for _, c in cms)
         cms = [np.repeat(np.repeat(cm, c // cell, axis=1), c // cell, axis=2)
                for cm, c in cms]
         g_real = len(cms)
-        tmax = max(f.shape[0] for f in frames_list)
+        tmax = max(t for _, _, t in gop_data)
         if tmax > 255:
             return None  # picks ride as uint8 in the combined buffer
         g_pad = -(-g_real // self._gop_quant) * self._gop_quant
@@ -465,13 +480,14 @@ class DMCPredictor:
         if_b = np.zeros((g_pad, h, w, 3), np.uint8)
         fp_b = np.zeros((g_pad, frames_per_gop, size, size, 3), np.uint8)
         pk_b = np.ones((g_pad, frames_per_gop), np.uint8)
-        for i, (cm, fr, pk) in enumerate(zip(cms, frames_list, picks)):
+        for i, (cm, (iframe, fp, _), pk) in enumerate(
+                zip(cms, gop_data, picks)):
             cm_b[i, :cm.shape[0]] = cm
-            if_b[i] = fr[0]
+            if_b[i] = iframe
             # Only the I-frame and the picked frames go to the device
             # (pre-cropped): 3-4x fewer H2D bytes than shipping every
             # decoded frame of the GOP.
-            fp_b[i] = self._center_crop(fr[pk])
+            fp_b[i] = fp
             pk_b[i] = pk
         fn = self._gop_program(g_pad, tmax, h, w, cell, frames_per_gop)
         buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
@@ -534,7 +550,7 @@ class DMCPredictor:
         else:
             gathered_all = map(gather_one, paths)
         for p, (gathered, gather_exc) in zip(paths, gathered_all):
-            tmax_v = (max(f.shape[0] for f in gathered[1])
+            tmax_v = (max(t for _, _, t in gathered[1])
                       if gathered else 0)
             if gathered is None or tmax_v > 255:
                 if backend == "device":
@@ -565,19 +581,20 @@ class DMCPredictor:
 
         size = self.input_size
         groups = {}
-        for p, (cms, fl, pk, cn, h, w) in pending:
-            groups.setdefault((h, w), []).append((p, cms, fl, pk, cn))
+        for p, (cms, gd, pk, cn, h, w) in pending:
+            groups.setdefault((h, w), []).append((p, cms, gd, pk, cn))
         chunk_gops = -(-chunk_gops // self._gop_quant) * self._gop_quant
         for (h, w), vids in groups.items():
             cell = min(c for _, cms, _, _, _ in vids for _, c in cms)
-            tmax = max(f.shape[0] for _, _, fl, _, _ in vids for f in fl)
+            tmax = max(t for _, _, gd, _, _ in vids for _, _, t in gd)
             ncy, ncx = h // cell, w // cell
-            flat = []  # (owner_path, cell_mv, frames, pick, count)
-            for p, cms, fl, pk, cn in vids:
-                for (cm, c), fr, pick, count in zip(cms, fl, pk, cn):
+            flat = []  # (owner_path, cell_mv, iframe, picked, pick, count)
+            for p, cms, gd, pk, cn in vids:
+                for (cm, c), (iframe, fp, _), pick, count in zip(cms, gd,
+                                                                 pk, cn):
                     cm = np.repeat(np.repeat(cm, c // cell, axis=1),
                                    c // cell, axis=2)
-                    flat.append((p, cm, fr, pick, count))
+                    flat.append((p, cm, iframe, fp, pick, count))
             fn = self._gop_program(chunk_gops, tmax, h, w, cell,
                                    frames_per_gop)
             in_flight = []  # (logits ref, chunk rows)
@@ -589,10 +606,10 @@ class DMCPredictor:
                 fp_b = np.zeros((chunk_gops, frames_per_gop, size, size, 3),
                                 np.uint8)
                 pk_b = np.ones((chunk_gops, frames_per_gop), np.uint8)
-                for i, (_, cm, fr, pick, _) in enumerate(chunk):
+                for i, (_, cm, iframe, fp, pick, _) in enumerate(chunk):
                     cm_b[i, :cm.shape[0]] = cm
-                    if_b[i] = fr[0]
-                    fp_b[i] = self._center_crop(fr[pick])
+                    if_b[i] = iframe
+                    fp_b[i] = fp
                     pk_b[i] = pick
                 buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
                 logits, _, _ = fn(jnp.asarray(buf))
@@ -600,7 +617,7 @@ class DMCPredictor:
             for logits, chunk in in_flight:
                 lg = np.asarray(logits).reshape(chunk_gops, frames_per_gop,
                                                 -1)
-                for i, (p, _, _, _, count) in enumerate(chunk):
+                for i, (p, *_, count) in enumerate(chunk):
                     per_video[p].append(lg[i, :count])
             for p, rows in per_video.items():
                 results[p] = np.concatenate(rows).mean(axis=0)

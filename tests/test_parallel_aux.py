@@ -89,3 +89,14 @@ def test_image_list_dataset(tmp_path):
     arr, label = ds[1]
     assert arr.shape == (8, 8, 3) and label == 1
     assert (arr == 10).all()
+
+
+def test_initialize_distributed_rejects_partial_flags():
+    """--dist-coordinator without --dist-num-processes must raise, not
+    silently run N unsynchronized trainings."""
+    import pytest
+
+    from dmcnet_tpu.parallel.multihost import initialize_distributed
+
+    with pytest.raises(ValueError, match="dist-num-processes"):
+        initialize_distributed(coordinator_address="127.0.0.1:5555")
