@@ -167,8 +167,23 @@ def main(argv=None, gan=False, input_size=224):
         from dmcnet_tpu.parallel import (
             make_mesh, make_sharded_train_step, replicate_state, shard_batch)
         mesh = make_mesh()
-        state = replicate_state(state, mesh)
-        wrap = lambda fn: make_sharded_train_step(fn, mesh)
+        if getattr(args, "fsdp", 0):
+            # ZeRO-3: params/moments live sharded over the same axis as the
+            # batch; GSPMD all-gathers weights on use and reduce-scatters
+            # grads (parallel/fsdp.py).
+            from dmcnet_tpu.parallel import (
+                make_fsdp_train_step, shard_state_fsdp)
+            if multi_host and args.ckpt_backend != "orbax":
+                raise SystemExit(
+                    "--fsdp with multi-host requires --ckpt-backend orbax "
+                    "(msgpack checkpoints gather the full state, which is "
+                    "not addressable from one process)")
+            state, fsdp_specs = shard_state_fsdp(state, mesh)
+            wrap = lambda fn: make_fsdp_train_step(fn, mesh, fsdp_specs)
+        else:
+            fsdp_specs = None
+            state = replicate_state(state, mesh)
+            wrap = lambda fn: make_sharded_train_step(fn, mesh)
         if multi_host:
             # each host contributes batch_size/process_count samples
             place = lambda b: global_batch_from_local(
@@ -197,7 +212,11 @@ def main(argv=None, gan=False, input_size=224):
                               loss_mse=args.loss_mse, jit=not use_mesh)
     if use_mesh:
         from dmcnet_tpu.parallel import make_sharded_eval_step
-        eval_step = make_sharded_eval_step(raw_eval, mesh)
+        if fsdp_specs is not None:
+            from dmcnet_tpu.parallel import make_fsdp_eval_step
+            eval_step = make_fsdp_eval_step(raw_eval, mesh, fsdp_specs)
+        else:
+            eval_step = make_sharded_eval_step(raw_eval, mesh)
         # multi-host: each process assembles only its rows of each padded
         # eval batch and contributes them via global_batch_from_local
         eval_place = place if multi_host else None

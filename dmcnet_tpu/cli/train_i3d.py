@@ -118,6 +118,12 @@ def build_parser(dataset_default="HMDB51"):
     # trainer: train_model.py:117-118, rank-seeded iterators :38-40,
     # hostname-suffixed checkpoints train/model.py:67-74).  When set, each
     # process feeds its local shard of the global --batch-size.
+    p.add_argument('--fsdp', type=int, default=0,
+                   help='shard params + optimizer moments over the data '
+                        'mesh axis (ZeRO-3; parallel/fsdp.py) instead of '
+                        'replicating them — per-chip state HBM drops by '
+                        '~the device count. No reference analogue '
+                        '(DataParallel replicates, train_model.py:117).')
     p.add_argument('--dist-coordinator', type=str, default=None,
                    help='jax.distributed coordinator address (host:port); '
                         'unset = single-process.')
@@ -298,9 +304,20 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         d_step, g_step = make_i3d_steps(net, opts, adv=args.adv, jit=False,
                                         detach=bool(args.detach),
                                         train_backbone=not frozen_backbone)
+        if args.fsdp:
+            # ZeRO-3: state sharded over the same axis as the batch; GSPMD
+            # all-gathers weights on use, reduce-scatters grads
+            # (parallel/fsdp.py).  I3D is where this matters — SGD+GAN
+            # carries 3 moment sets of a 12M-param model.
+            from dmcnet_tpu.parallel import (
+                make_fsdp_train_step, shard_state_fsdp)
+            state, specs = shard_state_fsdp(state, mesh)
+            d_step = make_fsdp_train_step(d_step, mesh, specs, batch_axis=1)
+            g_step = make_fsdp_train_step(g_step, mesh, specs, batch_axis=1)
+            return state, d_step, g_step, specs
         d_step = make_sharded_train_step(d_step, mesh, batch_axis=1)
         g_step = make_sharded_train_step(g_step, mesh, batch_axis=1)
-        return replicate_state(state, mesh), d_step, g_step
+        return replicate_state(state, mesh), d_step, g_step, None
 
     def ckpt_path(epoch):
         """Hostname-suffixed checkpoint names in multi-host runs so hosts
@@ -315,7 +332,13 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     # load would silently zero the restored optimizer state.
     resume_stage2 = (args.modality == "flow+mp4" and args.resume_epoch >= 0
                      and args.resume_epoch >= args.epoch_thre)
-    state, d_step, g_step = fresh_state(params, bstats, stage2=resume_stage2)
+    if args.fsdp and multi_host and args.ckpt_backend != "orbax":
+        raise SystemExit(
+            "--fsdp with multi-host requires --ckpt-backend orbax (msgpack "
+            "checkpoints gather the full state, which is not addressable "
+            "from one process)")
+    state, d_step, g_step, fsdp_specs = fresh_state(
+        params, bstats, stage2=resume_stage2)
     if args.resume_epoch >= 0:
         ckpt = ckpt_path(args.resume_epoch)
         if args.ckpt_backend == "orbax":
@@ -323,7 +346,11 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             state, meta = load_checkpoint_orbax(state, ckpt + ".orbax")
         else:
             state, meta = load_checkpoint(state, ckpt)
-        state = replicate_state(state, mesh)
+        if args.fsdp:
+            from dmcnet_tpu.parallel import shard_state_fsdp
+            state, fsdp_specs = shard_state_fsdp(state, mesh)
+        else:
+            state = replicate_state(state, mesh)
         print(f"resumed from {ckpt} (epoch {meta.get('epoch')})")
     # Mesh-constrained eval: required in multi-host runs, where the
     # replicated state spans every process and a plain local jit would
@@ -331,8 +358,21 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     # `replicate_out` all-gathers logits/labels so every process can read
     # the full score rows for the npz dump.
     from dmcnet_tpu.parallel import make_sharded_eval_step
-    eval_step = make_sharded_eval_step(make_i3d_eval_step(net, jit=False),
-                                       mesh, replicate_out=multi_host)
+
+    def make_eval(specs):
+        # under --fsdp the spec tree tracks the CURRENT optimizer structure
+        # (it changes at the stage-2 switch), so the eval step is rebuilt
+        # alongside the train steps
+        if args.fsdp:
+            from dmcnet_tpu.parallel import make_fsdp_eval_step
+            return make_fsdp_eval_step(
+                make_i3d_eval_step(net, jit=False), mesh, specs,
+                replicate_out=multi_host)
+        return make_sharded_eval_step(
+            make_i3d_eval_step(net, jit=False), mesh,
+            replicate_out=multi_host)
+
+    eval_step = make_eval(fsdp_specs)
 
     # lr steps divided by effective samples per scheduler tick
     # (train_model.py:217-222 divides the per-process batch by world_size;
@@ -361,8 +401,10 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         if args.modality == "flow+mp4" and epoch >= args.epoch_thre \
                 and not switched:
             print("stage 2: fresh optimizers (reference model.py:347-351)")
-            state, d_step, g_step = fresh_state(
+            state, d_step, g_step, fsdp_specs = fresh_state(
                 state.params, state.batch_stats, stage2=True)
+            if args.fsdp:
+                eval_step = make_eval(fsdp_specs)
             switched = True
         meters = {k: AverageMeter() for k in
                   ("loss", "loss_cls", "loss_mse", "top1", "speed")}

@@ -131,6 +131,13 @@ def build_parser(gan=False):
                              'slower for the ResNet-18 TSN train step, '
                              'whose cost XLA already fuses well — leave 0 '
                              'there.')
+    parser.add_argument('--fsdp', type=int, default=0,
+                        help='shard params + optimizer moments over the '
+                             'data mesh axis (ZeRO-3; parallel/fsdp.py) '
+                             'instead of replicating them — per-chip state '
+                             'HBM drops by ~the device count. No reference '
+                             'analogue (DataParallel replicates, '
+                             'train.py:117). Requires >1 device.')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='capture an XLA trace of training steps 2-7 '
                              'of the first epoch (TensorBoard/xprof).')

@@ -7,6 +7,13 @@ from dmcnet_tpu.parallel.mesh import (
     make_sharded_eval_step,
     make_sharded_train_step,
 )
+from dmcnet_tpu.parallel.fsdp import (
+    fsdp_spec,
+    gather_state,
+    make_fsdp_eval_step,
+    make_fsdp_train_step,
+    shard_state_fsdp,
+)
 from dmcnet_tpu.parallel.temporal import (
     make_time_mesh,
     make_time_sharded_apply,

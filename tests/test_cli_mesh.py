@@ -58,3 +58,27 @@ def test_train_cli_uses_mesh(corpus, tmp_path, monkeypatch):
     best = train_cli.main(args, input_size=64)
     assert best >= 0.0
     assert os.path.exists(str(tmp_path / "m_mv_checkpoint.pth.tar"))
+
+
+def test_train_cli_fsdp(corpus, tmp_path, monkeypatch):
+    """--fsdp 1: full CLI epoch with ZeRO-3 state sharding — train, eval
+    and the msgpack checkpoint save (which gathers sharded leaves) all run."""
+    import jax
+
+    from dmcnet_tpu.cli import train as train_cli
+
+    assert jax.device_count() == 8
+    monkeypatch.chdir(tmp_path)
+    args = [
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--flow-root", corpus["flow_root"],
+        "--representation", "mv", "--arch", "resnet18",
+        "--arch_estimator", "DenseNetTiny", "--num_segments", "1",
+        "--train-list", corpus["list"], "--test-list", corpus["list"],
+        "--epochs", "1", "--batch-size", "8", "--fsdp", "1",
+        "--eval-freq", "1", "--workers", "2",
+        "--model-prefix", str(tmp_path / "f"),
+    ]
+    best = train_cli.main(args, input_size=64)
+    assert best >= 0.0
+    assert os.path.exists(str(tmp_path / "f_mv_checkpoint.pth.tar"))
