@@ -156,7 +156,15 @@ def main(argv=None, gan=False, input_size=224):
     # 'data' axis, state replicated, gradient all-reduce emitted by XLA
     # (replaces reference DataParallel, train.py:117).
     n_dev = jax.device_count()
-    use_mesh = n_dev > 1 and args.batch_size % n_dev == 0
+    tp = getattr(args, "tp", 0) or 0
+    if tp > 1 and n_dev % tp != 0:
+        raise SystemExit(f"--tp {tp} must divide the device count ({n_dev})")
+    data_dev = n_dev // tp if tp > 1 else n_dev
+    use_mesh = n_dev > 1 and data_dev > 0 and args.batch_size % data_dev == 0
+    if tp > 1 and not use_mesh:
+        raise SystemExit(
+            f"--batch-size {args.batch_size} must be divisible by the data "
+            f"axis ({data_dev} = {n_dev} devices / tp {tp})")
     if multi_host and not use_mesh:
         # refusing is better than silently training unsynchronized per-host
         # replicas (no mesh = no gradient all-reduce)
@@ -166,13 +174,28 @@ def main(argv=None, gan=False, input_size=224):
     if use_mesh:
         from dmcnet_tpu.parallel import (
             make_mesh, make_sharded_train_step, replicate_state, shard_batch)
-        mesh = make_mesh()
-        if getattr(args, "fsdp", 0):
+        if tp > 1:
+            # 2-D (data, model) mesh: batch on 'data', every conv/dense
+            # kernel column-sharded over 'model' (parallel/tensor.py);
+            # --fsdp additionally ZeRO-3-shards the second kernel dim.
+            from dmcnet_tpu.parallel import (
+                make_fsdp_train_step, make_mesh_2d, shard_state_tp)
+            if multi_host and args.ckpt_backend != "orbax":
+                raise SystemExit(
+                    "--tp with multi-host requires --ckpt-backend orbax "
+                    "(msgpack checkpoints gather the full state, which is "
+                    "not addressable from one process)")
+            mesh = make_mesh_2d(model=tp)
+            state, fsdp_specs = shard_state_tp(
+                state, mesh, with_fsdp=bool(getattr(args, "fsdp", 0)))
+            wrap = lambda fn: make_fsdp_train_step(fn, mesh, fsdp_specs)
+        elif getattr(args, "fsdp", 0):
             # ZeRO-3: params/moments live sharded over the same axis as the
             # batch; GSPMD all-gathers weights on use and reduce-scatters
             # grads (parallel/fsdp.py).
             from dmcnet_tpu.parallel import (
                 make_fsdp_train_step, shard_state_fsdp)
+            mesh = make_mesh()
             if multi_host and args.ckpt_backend != "orbax":
                 raise SystemExit(
                     "--fsdp with multi-host requires --ckpt-backend orbax "
@@ -182,6 +205,7 @@ def main(argv=None, gan=False, input_size=224):
             wrap = lambda fn: make_fsdp_train_step(fn, mesh, fsdp_specs)
         else:
             fsdp_specs = None
+            mesh = make_mesh()
             state = replicate_state(state, mesh)
             wrap = lambda fn: make_sharded_train_step(fn, mesh)
         if multi_host:

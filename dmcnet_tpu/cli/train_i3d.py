@@ -118,6 +118,11 @@ def build_parser(dataset_default="HMDB51"):
     # trainer: train_model.py:117-118, rank-seeded iterators :38-40,
     # hostname-suffixed checkpoints train/model.py:67-74).  When set, each
     # process feeds its local shard of the global --batch-size.
+    p.add_argument('--tp', type=int, default=0,
+                   help='tensor (model) parallelism degree: 2-D (data, '
+                        'model) mesh, conv/dense kernels column-sharded '
+                        'over the model axis (parallel/tensor.py); '
+                        'combines with --fsdp. 0/1 = off.')
     p.add_argument('--fsdp', type=int, default=0,
                    help='shard params + optimizer moments over the data '
                         'mesh axis (ZeRO-3; parallel/fsdp.py) instead of '
@@ -221,13 +226,30 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                 f"--batch-size {args.batch_size} must be divisible by the "
                 f"global device count ({n_dev}) and process count "
                 f"({jax.process_count()}) for multi-host training")
-    else:
+    elif not (args.tp and args.tp > 1):
         while args.batch_size % n_dev:
             n_dev -= 1
-    mesh = make_mesh(jax.devices()[:n_dev])
-    if n_dev > 1:
-        print(f"data-parallel over {n_dev} devices "
-              f"(batch {args.batch_size} -> {args.batch_size // n_dev}/chip)")
+    if args.tp and args.tp > 1:
+        # 2-D (data, model) mesh: batch on 'data', kernels column-sharded
+        # over 'model' (parallel/tensor.py)
+        from dmcnet_tpu.parallel import make_mesh_2d
+        if n_dev % args.tp:
+            raise SystemExit(
+                f"--tp {args.tp} must divide the device count ({n_dev})")
+        if args.batch_size % (n_dev // args.tp):
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must be divisible by the "
+                f"data axis ({n_dev // args.tp} = {n_dev} devices / "
+                f"tp {args.tp})")
+        mesh = make_mesh_2d(model=args.tp, devices=jax.devices()[:n_dev])
+        print(f"tensor-parallel {n_dev // args.tp}x{args.tp} mesh "
+              f"(batch {args.batch_size} -> "
+              f"{args.batch_size // (n_dev // args.tp)}/data-row)")
+    else:
+        mesh = make_mesh(jax.devices()[:n_dev])
+        if n_dev > 1:
+            print(f"data-parallel over {n_dev} devices (batch "
+                  f"{args.batch_size} -> {args.batch_size // n_dev}/chip)")
 
     train_ds, val_ds = creat(
         args.dataset, args.data_root, args.video_prefix, args.flow_prefix,
@@ -304,6 +326,16 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         d_step, g_step = make_i3d_steps(net, opts, adv=args.adv, jit=False,
                                         detach=bool(args.detach),
                                         train_backbone=not frozen_backbone)
+        if args.tp and args.tp > 1:
+            # column-sharded kernels over 'model'; --fsdp additionally
+            # ZeRO-3-shards the second kernel dim over 'data'
+            from dmcnet_tpu.parallel import (
+                make_fsdp_train_step, shard_state_tp)
+            state, specs = shard_state_tp(state, mesh,
+                                          with_fsdp=bool(args.fsdp))
+            d_step = make_fsdp_train_step(d_step, mesh, specs, batch_axis=1)
+            g_step = make_fsdp_train_step(g_step, mesh, specs, batch_axis=1)
+            return state, d_step, g_step, specs
         if args.fsdp:
             # ZeRO-3: state sharded over the same axis as the batch; GSPMD
             # all-gathers weights on use, reduce-scatters grads
@@ -332,11 +364,11 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     # load would silently zero the restored optimizer state.
     resume_stage2 = (args.modality == "flow+mp4" and args.resume_epoch >= 0
                      and args.resume_epoch >= args.epoch_thre)
-    if args.fsdp and multi_host and args.ckpt_backend != "orbax":
+    if (args.fsdp or args.tp) and multi_host and args.ckpt_backend != "orbax":
         raise SystemExit(
-            "--fsdp with multi-host requires --ckpt-backend orbax (msgpack "
-            "checkpoints gather the full state, which is not addressable "
-            "from one process)")
+            "--fsdp/--tp with multi-host requires --ckpt-backend orbax "
+            "(msgpack checkpoints gather the full state, which is not "
+            "addressable from one process)")
     state, d_step, g_step, fsdp_specs = fresh_state(
         params, bstats, stage2=resume_stage2)
     if args.resume_epoch >= 0:
@@ -346,7 +378,11 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             state, meta = load_checkpoint_orbax(state, ckpt + ".orbax")
         else:
             state, meta = load_checkpoint(state, ckpt)
-        if args.fsdp:
+        if args.tp and args.tp > 1:
+            from dmcnet_tpu.parallel import shard_state_tp
+            state, fsdp_specs = shard_state_tp(state, mesh,
+                                               with_fsdp=bool(args.fsdp))
+        elif args.fsdp:
             from dmcnet_tpu.parallel import shard_state_fsdp
             state, fsdp_specs = shard_state_fsdp(state, mesh)
         else:
@@ -360,10 +396,10 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     from dmcnet_tpu.parallel import make_sharded_eval_step
 
     def make_eval(specs):
-        # under --fsdp the spec tree tracks the CURRENT optimizer structure
-        # (it changes at the stage-2 switch), so the eval step is rebuilt
-        # alongside the train steps
-        if args.fsdp:
+        # under --fsdp/--tp the spec tree tracks the CURRENT optimizer
+        # structure (it changes at the stage-2 switch), so the eval step is
+        # rebuilt alongside the train steps
+        if specs is not None:
             from dmcnet_tpu.parallel import make_fsdp_eval_step
             return make_fsdp_eval_step(
                 make_i3d_eval_step(net, jit=False), mesh, specs,
@@ -403,7 +439,7 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             print("stage 2: fresh optimizers (reference model.py:347-351)")
             state, d_step, g_step, fsdp_specs = fresh_state(
                 state.params, state.batch_stats, stage2=True)
-            if args.fsdp:
+            if fsdp_specs is not None:
                 eval_step = make_eval(fsdp_specs)
             switched = True
         meters = {k: AverageMeter() for k in

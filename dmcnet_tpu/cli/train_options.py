@@ -138,6 +138,13 @@ def build_parser(gan=False):
                              'HBM drops by ~the device count. No reference '
                              'analogue (DataParallel replicates, '
                              'train.py:117). Requires >1 device.')
+    parser.add_argument('--tp', type=int, default=0,
+                        help='tensor (model) parallelism degree: a 2-D '
+                             '(data, model) mesh with every conv/dense '
+                             'kernel column-sharded over the model axis '
+                             '(parallel/tensor.py); combines with --fsdp '
+                             '(ZeRO-3 over the data axis within each model '
+                             'shard). No reference analogue. 0/1 = off.')
     parser.add_argument('--profile-dir', type=str, default=None,
                         help='capture an XLA trace of training steps 2-7 '
                              'of the first epoch (TensorBoard/xprof).')

@@ -14,6 +14,11 @@ from dmcnet_tpu.parallel.fsdp import (
     make_fsdp_train_step,
     shard_state_fsdp,
 )
+from dmcnet_tpu.parallel.tensor import (
+    make_mesh_2d,
+    shard_state_tp,
+    tp_spec,
+)
 from dmcnet_tpu.parallel.temporal import (
     make_time_mesh,
     make_time_sharded_apply,

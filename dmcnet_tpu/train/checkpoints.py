@@ -68,26 +68,40 @@ def checkpoint_name(model_prefix, representation, kind="checkpoint"):
 def save_checkpoint_orbax(state, meta, directory):
     """Orbax backend: sharding-aware async-capable checkpointing for
     multi-host/production runs (the msgpack path above stays the default
-    for single-host parity with the reference's file naming)."""
+    for single-host parity with the reference's file naming).
+
+    The state is handed to orbax AS PLACED — sharded leaves (FSDP/TP, see
+    parallel/fsdp.py) are written shard-by-shard with every process
+    contributing its addressable shards; no host gather happens.  meta is
+    process-0-only (orbax coordinates the array writes itself)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(directory)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"),
-                   jax.tree.map(np.asarray, state), force=True)
-    with open(os.path.join(path, "meta.pkl"), "wb") as f:
-        pickle.dump(dict(meta), f)
+        ckptr.save(os.path.join(path, "state"), state, force=True)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.pkl"), "wb") as f:
+            pickle.dump(dict(meta), f)
     return path
 
 
 def load_checkpoint_orbax(state_template, directory):
+    """Restore (state, meta).  Leaves of `state_template` that are placed
+    jax Arrays come back with the SAME sharding (each process reads only
+    its shards); host-numpy template leaves restore as host numpy."""
     import orbax.checkpoint as ocp
+
+    def abstract(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                        sharding=x.sharding)
+        return np.asarray(x)
 
     path = os.path.abspath(directory)
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(
             os.path.join(path, "state"),
-            jax.tree.map(np.asarray, state_template))
+            jax.tree.map(abstract, state_template))
     with open(os.path.join(path, "meta.pkl"), "rb") as f:
         meta = pickle.load(f)
     return state, meta

@@ -128,6 +128,31 @@ def test_fsdp_cuts_per_device_bytes():
     assert sharded_total < 0.55 * total
 
 
+def test_fsdp_orbax_roundtrip(tmp_path):
+    """Orbax save from FSDP-sharded state (no host gather) -> restore into
+    a sharded template keeps shardings AND values; a host-numpy template
+    restores the same values as plain numpy (the eval drivers' path)."""
+    from dmcnet_tpu.train.checkpoints import (
+        load_checkpoint_orbax, save_checkpoint_orbax)
+
+    _, state, _, _, _ = _dmc_setup()
+    mesh = make_mesh(jax.devices())
+    fstate, specs = shard_state_fsdp(state, mesh, min_size=256)
+
+    path = save_checkpoint_orbax(fstate, {"epoch": 3}, str(tmp_path / "ck"))
+
+    restored, meta = load_checkpoint_orbax(fstate, path)
+    assert meta["epoch"] == 3
+    for a, b in zip(jax.tree.leaves(fstate), jax.tree.leaves(restored)):
+        assert b.sharding == a.sharding, (a.shape, a.sharding, b.sharding)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    host_template = jax.tree.map(np.asarray, state)
+    host_restored, _ = load_checkpoint_orbax(host_template, path)
+    for a, b in zip(jax.tree.leaves(fstate), jax.tree.leaves(host_restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_fsdp_eval_matches_replicated_eval():
     """Eval against FSDP-sharded state == eval against replicated state."""
     model, state, _, batch, jbatch = _dmc_setup()
