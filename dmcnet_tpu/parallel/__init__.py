@@ -14,6 +14,13 @@ from dmcnet_tpu.parallel.fsdp import (
     make_fsdp_train_step,
     shard_state_fsdp,
 )
+from dmcnet_tpu.parallel.pipeline import (
+    make_pipeline_apply,
+    make_stage_mesh,
+    shard_stage_params,
+    stack_stage_params,
+    unstack_stage_params,
+)
 from dmcnet_tpu.parallel.tensor import (
     make_mesh_2d,
     shard_state_tp,

@@ -1,0 +1,113 @@
+"""GPipe pipeline parallelism (parallel/pipeline.py) on the 8-device mesh.
+
+No reference analogue (its only parallelism replicates the model,
+code/dmcnet/train.py:117).  Pins: the schedule equals the serial stage
+composition, grads THROUGH the pipeline equal serial grads (pipeline
+training, not just inference), per-device param bytes drop by the stage
+count, and the microbatch count is a free knob.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dmcnet_tpu.parallel import (
+    make_pipeline_apply,
+    make_stage_mesh,
+    shard_stage_params,
+    stack_stage_params,
+    unstack_stage_params,
+)
+
+N_DEV = 8
+
+
+def _conv_stage(params, x):
+    """One homogeneous residual conv block: (B, H, W, C) -> same shape."""
+    y = jax.lax.conv_general_dilated(
+        x, params["w"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return x + jnp.tanh(y + params["b"])
+
+
+def _make_params(rng, n, c=8):
+    return [{"w": jnp.asarray(rng.normal(size=(3, 3, c, c)) * 0.3,
+                              jnp.float32),
+             "b": jnp.asarray(rng.normal(size=(c,)), jnp.float32)}
+            for _ in range(n)]
+
+
+def _serial(params_list, x):
+    for p in params_list:
+        x = _conv_stage(p, x)
+    return x
+
+
+def test_pipeline_matches_serial():
+    rng = np.random.default_rng(0)
+    params_list = _make_params(rng, N_DEV)
+    x = jnp.asarray(rng.normal(size=(16, 6, 6, 8)), jnp.float32)
+
+    mesh = make_stage_mesh(jax.devices())
+    stacked = shard_stage_params(stack_stage_params(params_list), mesh)
+    pipe = make_pipeline_apply(_conv_stage, mesh)
+
+    np.testing.assert_allclose(np.asarray(pipe(stacked, x)),
+                               np.asarray(_serial(params_list, x)),
+                               atol=1e-6)
+
+
+def test_pipeline_microbatch_counts():
+    """m is a free knob: any divisor of the batch (bubble fraction
+    (n-1)/(m+n-1) is the only difference)."""
+    rng = np.random.default_rng(1)
+    params_list = _make_params(rng, N_DEV)
+    x = jnp.asarray(rng.normal(size=(16, 4, 4, 8)), jnp.float32)
+    want = np.asarray(_serial(params_list, x))
+
+    mesh = make_stage_mesh(jax.devices())
+    stacked = shard_stage_params(stack_stage_params(params_list), mesh)
+    for m in (2, 16):
+        pipe = make_pipeline_apply(_conv_stage, mesh, n_microbatches=m)
+        np.testing.assert_allclose(np.asarray(pipe(stacked, x)), want,
+                                   atol=1e-6)
+
+
+def test_pipeline_grad_matches_serial():
+    """jax.grad through the schedule == serial grads: the backward replays
+    the pipeline in reverse, so this IS pipeline-parallel training."""
+    rng = np.random.default_rng(2)
+    params_list = _make_params(rng, N_DEV)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 8)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(8, 4, 4, 8)), jnp.float32)
+
+    mesh = make_stage_mesh(jax.devices())
+    stacked = shard_stage_params(stack_stage_params(params_list), mesh)
+    pipe = make_pipeline_apply(_conv_stage, mesh, jit=False)
+
+    def pipe_loss(p):
+        return jnp.mean((pipe(p, x) - tgt) ** 2)
+
+    def serial_loss(ps):
+        return jnp.mean((_serial(ps, x) - tgt) ** 2)
+
+    g_pipe = jax.jit(jax.grad(pipe_loss))(stacked)
+    g_serial = jax.grad(serial_loss)(params_list)
+
+    got = unstack_stage_params(g_pipe, N_DEV)
+    for gs, gp in zip(g_serial, got):
+        np.testing.assert_allclose(np.asarray(gs["w"]), gp["w"], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs["b"]), gp["b"], atol=1e-5)
+
+
+def test_pipeline_params_sharded_per_stage():
+    """Each device stores exactly its stage's weights (model sharding)."""
+    rng = np.random.default_rng(3)
+    mesh = make_stage_mesh(jax.devices())
+    stacked = shard_stage_params(
+        stack_stage_params(_make_params(rng, N_DEV)), mesh)
+    for leaf in jax.tree.leaves(stacked):
+        assert leaf.addressable_shards[0].data.size == leaf.size // N_DEV
+    # and the stacking round-trips
+    back = unstack_stage_params(stacked, N_DEV)
+    assert back[3]["w"].shape == (3, 3, 8, 8)
