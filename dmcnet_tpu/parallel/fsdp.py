@@ -61,6 +61,11 @@ def shard_state_fsdp(state, mesh, axis_name="data",
 
     Returns (sharded_state, spec_tree); pass the spec tree to
     `make_fsdp_train_step` / `make_fsdp_eval_step`.
+
+    Caution: `device_put` aliases leaves whose placement already matches,
+    and the train steps donate their input state — don't reuse `state`
+    (or place it a second way) after stepping unless it lives on host
+    (see PERF_NOTES.md §4; tests snapshot with jax.tree.map(np.asarray)).
     """
     specs = fsdp_spec(state, mesh, axis_name, min_size)
     sharded = jax.tree.map(

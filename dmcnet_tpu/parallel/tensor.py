@@ -86,7 +86,9 @@ def shard_state_tp(state, mesh, min_size=DEFAULT_MIN_SIZE, with_fsdp=False):
     """Place a TrainState channel-sharded over 'model' (and optionally
     ZeRO-3 over 'data').  Returns (sharded_state, spec_tree) — pass the
     specs to `make_fsdp_train_step(step, mesh, specs)` (the step wrappers
-    are sharding-tree-generic and shared with FSDP)."""
+    are sharding-tree-generic and shared with FSDP).  Same aliasing
+    caution as `shard_state_fsdp`: donated steps delete buffers this may
+    share with `state`."""
     specs = tp_spec(state, mesh, min_size, with_fsdp)
     sharded = jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)

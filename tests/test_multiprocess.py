@@ -94,6 +94,90 @@ def test_two_process_train_step_matches_single(tmp_path):
                                    err_msg=f"param leaf {i}")
 
 
+def test_two_process_fsdp_tp_step_matches_single(tmp_path):
+    """FSDP/TP state sharded ACROSS two processes (the cli/train.py
+    --fsdp/--tp multi-host path): one train step on (a) the 4-device FSDP
+    mesh and (b) the 2x2 (data, model) TP+ZeRO-3 mesh must match the same
+    SPMD programs on a 4-device single-process mesh; the worker also pins
+    the orbax contract those flags mandate — every process saves only its
+    addressable shards and restores onto the same shardings bit-exactly."""
+    coord = f"127.0.0.1:{_free_port()}"
+    out = str(tmp_path / "dist_fsdp.npz")
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    repo = os.path.dirname(HERE)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    workers = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "dist_worker_fsdp.py"),
+             str(pid), coord, out],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in (0, 1)
+    ]
+    logs = [w.communicate(timeout=900)[0].decode() for w in workers]
+    for w, log in zip(workers, logs):
+        assert w.returncode == 0, log[-3000:]
+    got = np.load(out)
+
+    # single-process reference: the same sharded programs on a local
+    # 4-device mesh (same placements, local collectives)
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.parallel import (
+        make_fsdp_train_step,
+        make_mesh,
+        make_mesh_2d,
+        shard_batch,
+        shard_state_fsdp,
+        shard_state_tp,
+    )
+    from dmcnet_tpu.train.engine import create_train_state, make_train_step
+
+    model = DMCNet(num_class=5, num_segments=1,
+                   arch_estimator="DenseNetTiny")
+    rng = np.random.default_rng(0)
+    b, hw = 4, 32
+    batch = {
+        "mv": np.asarray(rng.normal(size=(b, 1, hw, hw, 2)), np.float32),
+        "residual": np.asarray(rng.normal(size=(b, 1, hw, hw, 3)),
+                               np.float32),
+        "flow": np.asarray(rng.normal(size=(b, 1, hw, hw, 2)), np.float32),
+        "label": np.arange(b, dtype=np.int32) % 5,
+    }
+    state, opts = create_train_state(
+        model, jax.random.key(0), jax.tree.map(jnp.asarray, batch),
+        lr_cls_mult=0.01, lr_mse_mult=0.01)
+    # snapshot to host: the two placements below must not alias device
+    # buffers the donated steps will delete (PERF_NOTES.md §4)
+    state = jax.tree.map(np.asarray, state)
+    raw = make_train_step(model, opts, num_segments=1, lr_cls_w=1.0,
+                          lr_mse_w=1.0, jit=False)
+    args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-4),
+            jnp.asarray(True))
+
+    mesh = make_mesh(jax.devices()[:4])
+    fstate, specs = shard_state_fsdp(state, mesh, min_size=256)
+    fstate, metrics = make_fsdp_train_step(raw, mesh, specs)(
+        fstate, shard_batch(batch, mesh), *args)
+    np.testing.assert_allclose(float(got["loss"]), float(metrics["loss"]),
+                               rtol=5e-5)
+    leaves = jax.tree.leaves(fstate.params)
+    assert len(leaves) == len([k for k in got.files if k.startswith("p")])
+    for i, ref in enumerate(leaves):
+        np.testing.assert_allclose(got[f"p{i}"], np.asarray(ref), atol=5e-5,
+                                   err_msg=f"fsdp param leaf {i}")
+
+    mesh2 = make_mesh_2d(model=2, devices=jax.devices()[:4])
+    tstate, tspecs = shard_state_tp(state, mesh2, min_size=256,
+                                    with_fsdp=True)
+    tstate, tmetrics = make_fsdp_train_step(raw, mesh2, tspecs)(
+        tstate, shard_batch(batch, mesh2), *args)
+    np.testing.assert_allclose(float(got["tp_loss"]),
+                               float(tmetrics["loss"]), rtol=5e-5)
+    tleaves = jax.tree.leaves(tstate.params)
+    for i, ref in enumerate(tleaves):
+        np.testing.assert_allclose(got[f"t{i}"], np.asarray(ref), atol=5e-5,
+                                   err_msg=f"tp param leaf {i}")
+
+
 def test_two_process_i3d_step_matches_single(tmp_path):
     """Multi-host path of cli/train_i3d.py: the I3D G step over the stacked
     (iter_size, B, ...) layout (batch_axis=1) across two processes must
