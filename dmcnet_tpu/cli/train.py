@@ -143,7 +143,7 @@ def main(argv=None, gan=False, input_size=224):
         print(f"loaded --weights {args.weights} "
               f"(skipped {len(skipped)}, missing {len(missing)})")
     if args.resume:
-        if args.ckpt_backend == "orbax":
+        if args.ckpt_backend.startswith("orbax"):
             from dmcnet_tpu.train.checkpoints import load_checkpoint_orbax
             state, meta = load_checkpoint_orbax(state, args.resume)
         else:
@@ -180,7 +180,7 @@ def main(argv=None, gan=False, input_size=224):
             # --fsdp additionally ZeRO-3-shards the second kernel dim.
             from dmcnet_tpu.parallel import (
                 make_fsdp_train_step, make_mesh_2d, shard_state_tp)
-            if multi_host and args.ckpt_backend != "orbax":
+            if multi_host and not args.ckpt_backend.startswith("orbax"):
                 raise SystemExit(
                     "--tp with multi-host requires --ckpt-backend orbax "
                     "(msgpack checkpoints gather the full state, which is "
@@ -196,7 +196,7 @@ def main(argv=None, gan=False, input_size=224):
             from dmcnet_tpu.parallel import (
                 make_fsdp_train_step, shard_state_fsdp)
             mesh = make_mesh()
-            if multi_host and args.ckpt_backend != "orbax":
+            if multi_host and not args.ckpt_backend.startswith("orbax"):
                 raise SystemExit(
                     "--fsdp with multi-host requires --ckpt-backend orbax "
                     "(msgpack checkpoints gather the full state, which is "
@@ -342,16 +342,18 @@ def main(argv=None, gan=False, input_size=224):
                 name = checkpoint_name(args.model_prefix, args.representation)
                 meta = {"epoch": epoch + 1, "arch": args.arch,
                         "best_prec1": best_prec1}
-                if args.ckpt_backend == "orbax":
+                if args.ckpt_backend.startswith("orbax"):
                     from dmcnet_tpu.train.checkpoints import (
                         save_checkpoint_orbax,
                     )
-                    save_checkpoint_orbax(state, meta, name + ".orbax")
+                    wait = args.ckpt_backend != "orbax-async"
+                    save_checkpoint_orbax(state, meta, name + ".orbax",
+                                          wait=wait)
                     if is_best:  # keep a best-model artifact (train.py:375)
                         save_checkpoint_orbax(
                             state, meta,
                             name.replace("checkpoint", "model_best")
-                            + ".orbax")
+                            + ".orbax", wait=wait)
                 else:
                     save_checkpoint(state, meta, name, is_best)
                 if getattr(args, "save_reference_ckpt", 0):
@@ -364,6 +366,10 @@ def main(argv=None, gan=False, input_size=224):
                         host_state, ref, epoch=epoch + 1, arch=args.arch,
                         best_prec1=best_prec1)
                     print(f"reference-format checkpoint: {ref}")
+    if args.ckpt_backend == "orbax-async":
+        # drain in-flight background writes before the process exits
+        from dmcnet_tpu.train.checkpoints import wait_for_checkpoints
+        wait_for_checkpoints()
     return best_prec1
 
 

@@ -103,7 +103,7 @@ def build_parser(dataset_default="HMDB51"):
                         "reference imports checkpoint_sequential unused, "
                         "i3d.py:19)")
     p.add_argument('--ckpt-backend', type=str, default='msgpack',
-                   choices=['msgpack', 'orbax'])
+                   choices=['msgpack', 'orbax', 'orbax-async'])
     p.add_argument('--bf16', type=int, default=0,
                    help='mixed-precision training (convs in bfloat16; '
                         'params/BN stats/losses stay float32)')
@@ -364,7 +364,8 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     # load would silently zero the restored optimizer state.
     resume_stage2 = (args.modality == "flow+mp4" and args.resume_epoch >= 0
                      and args.resume_epoch >= args.epoch_thre)
-    if (args.fsdp or args.tp) and multi_host and args.ckpt_backend != "orbax":
+    if ((args.fsdp or args.tp) and multi_host
+            and not args.ckpt_backend.startswith("orbax")):
         raise SystemExit(
             "--fsdp/--tp with multi-host requires --ckpt-backend orbax "
             "(msgpack checkpoints gather the full state, which is not "
@@ -373,7 +374,7 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         params, bstats, stage2=resume_stage2)
     if args.resume_epoch >= 0:
         ckpt = ckpt_path(args.resume_epoch)
-        if args.ckpt_backend == "orbax":
+        if args.ckpt_backend.startswith("orbax"):
             from dmcnet_tpu.train.checkpoints import load_checkpoint_orbax
             state, meta = load_checkpoint_orbax(state, ckpt + ".orbax")
         else:
@@ -523,12 +524,17 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                          labels=np.concatenate(labels), top1=top1)
         if epoch % max(int(args.save_frequency), 1) == 0:
             ckpt = ckpt_path(epoch)
-            if args.ckpt_backend == "orbax":
+            if args.ckpt_backend.startswith("orbax"):
                 from dmcnet_tpu.train.checkpoints import save_checkpoint_orbax
                 save_checkpoint_orbax(state, {"epoch": epoch, "top1": top1},
-                                      ckpt + ".orbax")
+                                      ckpt + ".orbax",
+                                      wait=args.ckpt_backend != "orbax-async")
             else:
                 save_checkpoint(state, {"epoch": epoch, "top1": top1}, ckpt)
+    if args.ckpt_backend == "orbax-async":
+        # drain in-flight background writes before the process exits
+        from dmcnet_tpu.train.checkpoints import wait_for_checkpoints
+        wait_for_checkpoints()
     return best_top1
 
 

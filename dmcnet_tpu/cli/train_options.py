@@ -112,9 +112,11 @@ def build_parser(gan=False):
     parser.add_argument('--dist-num-processes', type=int, default=None)
     parser.add_argument('--dist-process-id', type=int, default=None)
     parser.add_argument('--ckpt-backend', type=str, default='msgpack',
-                        choices=['msgpack', 'orbax'],
+                        choices=['msgpack', 'orbax', 'orbax-async'],
                         help='msgpack keeps the reference .pth.tar naming; '
-                             'orbax is sharding-aware for multi-host runs.')
+                             'orbax is sharding-aware for multi-host runs; '
+                             'orbax-async overlaps the disk write with '
+                             'training (drained at epoch end / exit).')
     parser.add_argument('--bf16', type=int, default=0,
                         help='mixed-precision training: convs compute in '
                              'bfloat16 on the MXU, params/BN stats/losses '

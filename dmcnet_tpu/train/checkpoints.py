@@ -65,24 +65,54 @@ def checkpoint_name(model_prefix, representation, kind="checkpoint"):
                      kind + ".pth.tar"))
 
 
-def save_checkpoint_orbax(state, meta, directory):
-    """Orbax backend: sharding-aware async-capable checkpointing for
-    multi-host/production runs (the msgpack path above stays the default
-    for single-host parity with the reference's file naming).
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPTR = ocp.StandardCheckpointer()
+    return _ASYNC_CKPTR
+
+
+def save_checkpoint_orbax(state, meta, directory, wait=True):
+    """Orbax backend: sharding-aware checkpointing for multi-host/production
+    runs (the msgpack path above stays the default for single-host parity
+    with the reference's file naming).
 
     The state is handed to orbax AS PLACED — sharded leaves (FSDP/TP, see
     parallel/fsdp.py) are written shard-by-shard with every process
     contributing its addressable shards; no host gather happens.  meta is
-    process-0-only (orbax coordinates the array writes itself)."""
+    process-0-only (orbax coordinates the array writes itself).
+
+    `wait=False` = async: the device->host snapshot happens before this
+    returns (donated train steps may immediately overwrite the state), but
+    serialization + disk writes proceed on a background thread while
+    training continues — call `wait_for_checkpoints()` before reading the
+    directory or exiting the process.  A new save to any path first drains
+    the previous in-flight one (orbax serializes saves per checkpointer)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(directory)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(os.path.join(path, "state"), state, force=True)
+    if wait:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.join(path, "state"), state, force=True)
+    else:
+        _async_checkpointer().save(os.path.join(path, "state"), state,
+                                   force=True)
     if jax.process_index() == 0:
         with open(os.path.join(path, "meta.pkl"), "wb") as f:
             pickle.dump(dict(meta), f)
     return path
+
+
+def wait_for_checkpoints():
+    """Block until every async `save_checkpoint_orbax(..., wait=False)` has
+    committed to disk.  No-op when none are in flight."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
 
 
 def load_checkpoint_orbax(state_template, directory):

@@ -88,6 +88,46 @@ def test_train_test_combine(corpus, tmp_path, monkeypatch):
     assert n == NVID and 0.0 <= fused_acc <= 1.0
 
 
+def test_train_orbax_async_resume(corpus, tmp_path, monkeypatch):
+    """--ckpt-backend orbax-async: epoch-end saves overlap training and are
+    drained at exit; a second invocation --resumes from the orbax directory
+    (epoch counter + best-prec restored) and keeps training."""
+    from dmcnet_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    common = [
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--flow-root", corpus["flow_root"],
+        "--representation", "mv", "--arch", "resnet18",
+        "--arch_estimator", "DenseNetTiny",
+        "--num_segments", "2", "--gen_flow_or_delta", "1",
+        "--train-list", corpus["list"], "--test-list", corpus["list"],
+        "--batch-size", "3", "--lr", "0.001",
+        "--eval-freq", "1", "--workers", "2",
+        "--model-prefix", str(tmp_path / "am"),
+        "--ckpt-backend", "orbax-async",
+    ]
+    best = train_cli.main(common + ["--epochs", "1"], input_size=64)
+    assert best >= 0.0
+    ckdir = str(tmp_path / "am_mv_checkpoint.pth.tar.orbax")
+    assert os.path.isdir(ckdir)
+
+    import pickle
+
+    with open(os.path.join(ckdir, "meta.pkl"), "rb") as f:
+        assert pickle.load(f)["epoch"] == 1  # drained + committed at exit
+
+    best2 = train_cli.main(
+        common + ["--epochs", "2", "--resume", ckdir], input_size=64)
+    assert best2 >= best  # best_prec1 carried through the resume
+    # the async-saved directory restores into a fresh state template
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        raw = ckptr.restore(os.path.join(ckdir, "state"))
+    assert raw["params"] is not None
+
+
 def test_train_gan_cli(corpus, tmp_path, monkeypatch):
     """GAN variant through the CLI: alternating D/G, 3 optimizers,
     init from the no-GAN flow (reference exp_my/hmdb51_gan workflow)."""

@@ -153,6 +153,37 @@ def test_fsdp_orbax_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_fsdp_orbax_async_roundtrip(tmp_path):
+    """wait=False: save returns with the write in flight; after
+    wait_for_checkpoints() the directory restores bit-exactly — and the
+    snapshot reflects the state AT SAVE TIME even if the buffers are
+    donated to a train step immediately afterwards."""
+    from dmcnet_tpu.train.checkpoints import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+        wait_for_checkpoints,
+    )
+
+    _, state, step, batch, jbatch = _dmc_setup()
+    mesh = make_mesh(jax.devices())
+    fstate, specs = shard_state_fsdp(state, mesh, min_size=256)
+    want = [np.asarray(x) for x in jax.tree.leaves(fstate)]
+
+    path = save_checkpoint_orbax(fstate, {"epoch": 5},
+                                 str(tmp_path / "ck"), wait=False)
+    # overwrite the live buffers while the background write drains
+    fsdp_step = make_fsdp_train_step(step, mesh, specs)
+    args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-4),
+            jnp.asarray(True))
+    fstate2, _ = fsdp_step(fstate, shard_batch(batch, mesh), *args)
+    wait_for_checkpoints()
+
+    restored, meta = load_checkpoint_orbax(fstate2, path)
+    assert meta["epoch"] == 5
+    for a, b in zip(want, jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(a, np.asarray(b))
+
+
 def test_fsdp_eval_matches_replicated_eval():
     """Eval against FSDP-sharded state == eval against replicated state."""
     model, state, _, batch, jbatch = _dmc_setup()
