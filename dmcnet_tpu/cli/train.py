@@ -142,6 +142,16 @@ def main(argv=None, gan=False, input_size=224):
         state = state.replace(params=params, batch_stats=batch_stats)
         print(f"loaded --weights {args.weights} "
               f"(skipped {len(skipped)}, missing {len(missing)})")
+    if getattr(args, "auto_resume", 0) and not args.resume:
+        # preemption-safe restart: pick up the run's own checkpoint if one
+        # exists (the reference requires a manual --resume, train.py:145)
+        import os
+        cand = checkpoint_name(args.model_prefix, args.representation)
+        if args.ckpt_backend.startswith("orbax"):
+            cand += ".orbax"
+        if os.path.exists(cand):
+            args.resume = cand
+            print(f"--auto-resume: found {cand}")
     if args.resume:
         if args.ckpt_backend.startswith("orbax"):
             from dmcnet_tpu.train.checkpoints import load_checkpoint_orbax

@@ -73,6 +73,10 @@ def build_parser(dataset_default="HMDB51"):
                    help="classifier re-init source (the reference hardcodes "
                         "this path, train_model.py:193)")
     p.add_argument('--resume-epoch', type=int, default=-1)
+    p.add_argument('--auto-resume', type=int, default=0,
+                   help="preemption-safe restart: resume from this run's "
+                        'newest per-epoch checkpoint if any exists '
+                        '(--resume-epoch takes precedence).')
     p.add_argument('--modality', type=str, default='rgb',
                    choices=['rgb', 'flow', 'mv', 'res', 'flow+mp4', 'I'])
     p.add_argument('--drop-out', type=float, default=0.5)
@@ -358,6 +362,17 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         import socket
         suffix = f"_{socket.gethostname()}" if multi_host else ""
         return f"{args.model_prefix}_ep-{epoch:04d}{suffix}.pth"
+
+    if getattr(args, "auto_resume", 0) and args.resume_epoch < 0:
+        # preemption-safe restart: resume from the newest of this run's own
+        # per-epoch checkpoints (the reference requires a manual
+        # --resume-epoch, train_model.py:209-215)
+        ext = ".orbax" if args.ckpt_backend.startswith("orbax") else ""
+        for e in range(args.end_epoch - 1, -1, -1):
+            if os.path.exists(ckpt_path(e) + ext):
+                args.resume_epoch = e
+                print(f"--auto-resume: found {ckpt_path(e) + ext}")
+                break
 
     # Resuming at/after epoch_thre: build the stage-2 optimizers FIRST so
     # the checkpoint's moments restore into them — rebuilding after the

@@ -111,6 +111,10 @@ def build_parser(gan=False):
                              '(host:port); unset = single-process.')
     parser.add_argument('--dist-num-processes', type=int, default=None)
     parser.add_argument('--dist-process-id', type=int, default=None)
+    parser.add_argument('--auto-resume', type=int, default=0,
+                        help='preemption-safe restart: resume from this '
+                             "run's own checkpoint if it exists (no-op on "
+                             'a fresh run; --resume takes precedence).')
     parser.add_argument('--ckpt-backend', type=str, default='msgpack',
                         choices=['msgpack', 'orbax', 'orbax-async'],
                         help='msgpack keeps the reference .pth.tar naming; '

@@ -128,6 +128,36 @@ def test_train_orbax_async_resume(corpus, tmp_path, monkeypatch):
     assert raw["params"] is not None
 
 
+def test_train_auto_resume(corpus, tmp_path, monkeypatch, capsys):
+    """--auto-resume: a rerun of the same command picks up the run's own
+    checkpoint (preemption-safe restart); a fresh run is a no-op."""
+    from dmcnet_tpu.cli import train as train_cli
+
+    monkeypatch.chdir(tmp_path)
+    args = [
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--flow-root", corpus["flow_root"],
+        "--representation", "mv", "--arch", "resnet18",
+        "--arch_estimator", "DenseNetTiny",
+        "--num_segments", "2", "--gen_flow_or_delta", "1",
+        "--train-list", corpus["list"], "--test-list", corpus["list"],
+        "--batch-size", "3", "--lr", "0.001",
+        "--eval-freq", "1", "--workers", "2",
+        "--model-prefix", str(tmp_path / "ar"),
+        "--auto-resume", "1",
+    ]
+    train_cli.main(args + ["--epochs", "1"], input_size=64)
+    out1 = capsys.readouterr().out
+    assert "--auto-resume: found" not in out1  # fresh run: no-op
+    assert "Epoch: [0]" in out1
+
+    # identical relaunch (as after a preemption): resumes past epoch 0
+    train_cli.main(args + ["--epochs", "2"], input_size=64)
+    out2 = capsys.readouterr().out
+    assert "--auto-resume: found" in out2
+    assert "Epoch: [0]" not in out2 and "Epoch: [1]" in out2
+
+
 def test_train_gan_cli(corpus, tmp_path, monkeypatch):
     """GAN variant through the CLI: alternating D/G, 3 optimizers,
     init from the no-GAN flow (reference exp_my/hmdb51_gan workflow)."""
