@@ -148,8 +148,14 @@ def main(argv=None, gan=False, input_size=224):
         import os
         cand = checkpoint_name(args.model_prefix, args.representation)
         if args.ckpt_backend.startswith("orbax"):
+            from dmcnet_tpu.train.checkpoints import (
+                orbax_checkpoint_committed,
+            )
             cand += ".orbax"
-        if os.path.exists(cand):
+            ok = orbax_checkpoint_committed(cand)  # skip torn async writes
+        else:
+            ok = os.path.exists(cand)
+        if ok:
             args.resume = cand
             print(f"--auto-resume: found {cand}")
     if args.resume:

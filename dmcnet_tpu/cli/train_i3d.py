@@ -367,11 +367,16 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         # preemption-safe restart: resume from the newest of this run's own
         # per-epoch checkpoints (the reference requires a manual
         # --resume-epoch, train_model.py:209-215)
-        ext = ".orbax" if args.ckpt_backend.startswith("orbax") else ""
+        from dmcnet_tpu.train.checkpoints import orbax_checkpoint_committed
+
+        orbax = args.ckpt_backend.startswith("orbax")
         for e in range(args.end_epoch - 1, -1, -1):
-            if os.path.exists(ckpt_path(e) + ext):
+            # the orbax probe skips torn (interrupted mid-write) saves
+            found = (orbax_checkpoint_committed(ckpt_path(e) + ".orbax")
+                     if orbax else os.path.exists(ckpt_path(e)))
+            if found:
                 args.resume_epoch = e
-                print(f"--auto-resume: found {ckpt_path(e) + ext}")
+                print(f"--auto-resume: found epoch {e}")
                 break
 
     # Resuming at/after epoch_thre: build the stage-2 optimizers FIRST so

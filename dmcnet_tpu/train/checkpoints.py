@@ -115,6 +115,14 @@ def wait_for_checkpoints():
         _ASYNC_CKPTR.wait_until_finished()
 
 
+def orbax_checkpoint_committed(directory):
+    """True iff `directory` holds a COMMITTED orbax checkpoint.  Orbax
+    writes arrays into a tmp dir and renames it to `state/` only on commit,
+    so an interrupted (e.g. preempted mid-async-write) save never gains it
+    — `--auto-resume` uses this to skip torn checkpoints."""
+    return os.path.isdir(os.path.join(os.path.abspath(directory), "state"))
+
+
 def load_checkpoint_orbax(state_template, directory):
     """Restore (state, meta).  Leaves of `state_template` that are placed
     jax Arrays come back with the SAME sharding (each process reads only

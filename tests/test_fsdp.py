@@ -184,6 +184,27 @@ def test_fsdp_orbax_async_roundtrip(tmp_path):
         np.testing.assert_array_equal(a, np.asarray(b))
 
 
+def test_orbax_commit_detection(tmp_path):
+    """orbax_checkpoint_committed: True only after the atomic state/ rename
+    — a torn dir (meta.pkl written, arrays interrupted) is not resumable."""
+    import os
+
+    from dmcnet_tpu.train.checkpoints import (
+        orbax_checkpoint_committed,
+        save_checkpoint_orbax,
+    )
+
+    torn = tmp_path / "torn.orbax"
+    os.makedirs(torn)
+    (torn / "meta.pkl").write_bytes(b"x")
+    os.makedirs(torn / "state.orbax-checkpoint-tmp-123")  # in-flight write
+    assert not orbax_checkpoint_committed(str(torn))
+
+    path = save_checkpoint_orbax({"a": np.ones(4)}, {"epoch": 1},
+                                 str(tmp_path / "ok.orbax"))
+    assert orbax_checkpoint_committed(path)
+
+
 def test_fsdp_eval_matches_replicated_eval():
     """Eval against FSDP-sharded state == eval against replicated state."""
     model, state, _, batch, jbatch = _dmc_setup()
