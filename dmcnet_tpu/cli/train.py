@@ -155,6 +155,13 @@ def main(argv=None, gan=False, input_size=224):
             ok = orbax_checkpoint_committed(cand)  # skip torn async writes
         else:
             ok = os.path.exists(cand)
+        if multi_host:
+            # per-host filesystems can disagree after a partial preemption;
+            # resume only if EVERY process sees the checkpoint, or the mesh
+            # programs desynchronize
+            from jax.experimental import multihost_utils
+            ok = bool(multihost_utils.process_allgather(
+                jnp.int32(ok)).min())
         if ok:
             args.resume = cand
             print(f"--auto-resume: found {cand}")

@@ -356,11 +356,14 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         return replicate_state(state, mesh), d_step, g_step, None
 
     def ckpt_path(epoch):
-        """Hostname-suffixed checkpoint names in multi-host runs so hosts
-        never collide on a shared filesystem (reference get_checkpoint_path,
-        train/model.py:67-74)."""
+        """Hostname-suffixed checkpoint names in msgpack multi-host runs so
+        hosts never collide on a shared filesystem (reference
+        get_checkpoint_path, train/model.py:67-74).  Orbax checkpoints are
+        NOT suffixed: a sharded (--fsdp/--tp) save is a collective write
+        into ONE directory, every process contributing its shards."""
         import socket
-        suffix = f"_{socket.gethostname()}" if multi_host else ""
+        msgpack = not args.ckpt_backend.startswith("orbax")
+        suffix = f"_{socket.gethostname()}" if multi_host and msgpack else ""
         return f"{args.model_prefix}_ep-{epoch:04d}{suffix}.pth"
 
     if getattr(args, "auto_resume", 0) and args.resume_epoch < 0:
@@ -370,21 +373,31 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         from dmcnet_tpu.train.checkpoints import orbax_checkpoint_committed
 
         orbax = args.ckpt_backend.startswith("orbax")
-        for e in range(args.end_epoch - 1, -1, -1):
+        newest = -1
+        for e in range(args.end_epoch, 0, -1):
             # the orbax probe skips torn (interrupted mid-write) saves
             found = (orbax_checkpoint_committed(ckpt_path(e) + ".orbax")
                      if orbax else os.path.exists(ckpt_path(e)))
             if found:
-                args.resume_epoch = e
-                print(f"--auto-resume: found epoch {e}")
+                newest = e
                 break
+        if multi_host:
+            # hosts may have been preempted at different points (msgpack
+            # checkpoints are per-host files): agree on the OLDEST epoch
+            # every process has, or the mesh programs desynchronize
+            from jax.experimental import multihost_utils
+            newest = int(multihost_utils.process_allgather(
+                jnp.int32(newest)).min())
+        if newest >= 0:
+            args.resume_epoch = newest
+            print(f"--auto-resume: epoch {newest}")
 
     # Resuming at/after epoch_thre: build the stage-2 optimizers FIRST so
     # the checkpoint's moments restore into them — rebuilding after the
     # load would silently zero the restored optimizer state.
     resume_stage2 = (args.modality == "flow+mp4" and args.resume_epoch >= 0
                      and args.resume_epoch >= args.epoch_thre)
-    if ((args.fsdp or args.tp) and multi_host
+    if ((args.fsdp or args.tp > 1) and multi_host
             and not args.ckpt_backend.startswith("orbax")):
         raise SystemExit(
             "--fsdp/--tp with multi-host requires --ckpt-backend orbax "
@@ -542,15 +555,19 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                 np.savez(os.path.join(args.score_dir, "score_best.npz"),
                          scores=np.concatenate(scores),
                          labels=np.concatenate(labels), top1=top1)
-        if epoch % max(int(args.save_frequency), 1) == 0:
-            ckpt = ckpt_path(epoch)
+        if epoch == 0 or (epoch + 1) % max(int(args.save_frequency), 1) == 0:
+            # checkpoint ep-N = "state ready to train epoch N": saved at the
+            # end of epoch N-1, so --resume-epoch N continues exactly where
+            # the save left off (reference epoch_end_callback saves
+            # epoch=i_epoch+1, train/model.py:253-260)
+            ckpt = ckpt_path(epoch + 1)
+            meta = {"epoch": epoch + 1, "top1": top1}
             if args.ckpt_backend.startswith("orbax"):
                 from dmcnet_tpu.train.checkpoints import save_checkpoint_orbax
-                save_checkpoint_orbax(state, {"epoch": epoch, "top1": top1},
-                                      ckpt + ".orbax",
+                save_checkpoint_orbax(state, meta, ckpt + ".orbax",
                                       wait=args.ckpt_backend != "orbax-async")
             else:
-                save_checkpoint(state, {"epoch": epoch, "top1": top1}, ckpt)
+                save_checkpoint(state, meta, ckpt)
     if args.ckpt_backend == "orbax-async":
         # drain in-flight background writes before the process exits
         from dmcnet_tpu.train.checkpoints import wait_for_checkpoints

@@ -28,6 +28,17 @@ from .mesh import _batch_spec
 DEFAULT_MIN_SIZE = 2 ** 14
 
 
+def largest_divisible_dim(shape, n, skip=()):
+    """Index of the largest dim divisible by n (ties → later dim), skipping
+    `skip`; -1 if none.  The shared ZeRO-3 placement rule for fsdp_spec and
+    tensor.tp_spec — one heuristic, one place."""
+    best, best_dim = -1, 0
+    for i, d in enumerate(shape):
+        if i not in skip and d % n == 0 and d >= best_dim:
+            best, best_dim = i, d
+    return best
+
+
 def fsdp_spec(tree, mesh, axis_name="data", min_size=DEFAULT_MIN_SIZE):
     """Per-leaf PartitionSpec tree: shard the largest evenly-divisible dim.
 
@@ -42,10 +53,7 @@ def fsdp_spec(tree, mesh, axis_name="data", min_size=DEFAULT_MIN_SIZE):
         size = int(np.prod(shape, dtype=np.int64)) if shape else 0
         if not shape or size < min_size:
             return P()
-        best, best_dim = -1, 0
-        for i, d in enumerate(shape):
-            if d % n == 0 and d >= best_dim:
-                best, best_dim = i, d
+        best = largest_divisible_dim(shape, n)
         if best < 0:
             return P()
         parts = [None] * len(shape)

@@ -69,10 +69,9 @@ def tp_spec(tree, mesh, min_size=DEFAULT_MIN_SIZE, with_fsdp=False):
         if len(shape) >= 2 and shape[-1] % n_model == 0:
             parts[-1] = "model"
         if with_fsdp:
-            best, best_dim = -1, 0
-            for i, d in enumerate(shape):
-                if parts[i] is None and d % n_data == 0 and d >= best_dim:
-                    best, best_dim = i, d
+            from .fsdp import largest_divisible_dim
+            skip = tuple(i for i, p in enumerate(parts) if p is not None)
+            best = largest_divisible_dim(shape, n_data, skip=skip)
             if best >= 0:
                 parts[best] = "data"
         if all(p is None for p in parts):

@@ -77,7 +77,31 @@ def _async_checkpointer():
     return _ASYNC_CKPTR
 
 
-def save_checkpoint_orbax(state, meta, directory, wait=True):
+def _committed_steps(path):
+    """Sorted committed step numbers under an orbax checkpoint root.  A
+    step is committed when orbax's atomic `state/` rename happened AND
+    meta.pkl exists (meta is written first, so state/ implies both except
+    for a pre-meta crash, which this correctly treats as torn)."""
+    steps = []
+    if os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.isdigit() and \
+                    os.path.isdir(os.path.join(path, name, "state")) and \
+                    os.path.exists(os.path.join(path, name, "meta.pkl")):
+                steps.append(int(name))
+    return sorted(steps)
+
+
+def _write_meta(step_dir, meta):
+    """Atomic meta.pkl (tmp + rename): a torn meta can never be read."""
+    os.makedirs(step_dir, exist_ok=True)
+    tmp = os.path.join(step_dir, "meta.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(dict(meta), f)
+    os.replace(tmp, os.path.join(step_dir, "meta.pkl"))
+
+
+def save_checkpoint_orbax(state, meta, directory, wait=True, keep=2):
     """Orbax backend: sharding-aware checkpointing for multi-host/production
     runs (the msgpack path above stays the default for single-host parity
     with the reference's file naming).
@@ -87,24 +111,38 @@ def save_checkpoint_orbax(state, meta, directory, wait=True):
     contributing its addressable shards; no host gather happens.  meta is
     process-0-only (orbax coordinates the array writes itself).
 
+    Each save lands in its own `<directory>/<meta['epoch']>/` step dir
+    (meta.pkl first, atomically; then the arrays, committed by orbax's
+    atomic `state/` rename) — a crash or preemption at ANY point leaves
+    every previously committed step intact, so `--auto-resume` always has
+    a good checkpoint.  The newest `keep` committed steps are retained;
+    older ones are pruned before the new write starts.
+
     `wait=False` = async: the device->host snapshot happens before this
     returns (donated train steps may immediately overwrite the state), but
     serialization + disk writes proceed on a background thread while
     training continues — call `wait_for_checkpoints()` before reading the
-    directory or exiting the process.  A new save to any path first drains
-    the previous in-flight one (orbax serializes saves per checkpointer)."""
+    directory or exiting the process.  A new save first drains the
+    previous in-flight one (orbax serializes saves per checkpointer)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(directory)
+    step = int(meta.get("epoch", 0))
+    if jax.process_index() == 0:
+        # prune, keeping the newest keep-1 committed steps (+ the new one);
+        # never touches anything a torn write could leave half-deleted
+        # never prune the newest existing step before the new one commits
+        for old in _committed_steps(path)[:-max(keep - 1, 1)]:
+            if old != step:
+                shutil.rmtree(os.path.join(path, str(old)),
+                              ignore_errors=True)
+        _write_meta(os.path.join(path, str(step)), meta)
+    target = os.path.join(path, str(step), "state")
     if wait:
         with ocp.StandardCheckpointer() as ckptr:
-            ckptr.save(os.path.join(path, "state"), state, force=True)
+            ckptr.save(target, state, force=True)
     else:
-        _async_checkpointer().save(os.path.join(path, "state"), state,
-                                   force=True)
-    if jax.process_index() == 0:
-        with open(os.path.join(path, "meta.pkl"), "wb") as f:
-            pickle.dump(dict(meta), f)
+        _async_checkpointer().save(target, state, force=True)
     return path
 
 
@@ -116,17 +154,36 @@ def wait_for_checkpoints():
 
 
 def orbax_checkpoint_committed(directory):
-    """True iff `directory` holds a COMMITTED orbax checkpoint.  Orbax
-    writes arrays into a tmp dir and renames it to `state/` only on commit,
-    so an interrupted (e.g. preempted mid-async-write) save never gains it
-    — `--auto-resume` uses this to skip torn checkpoints."""
-    return os.path.isdir(os.path.join(os.path.abspath(directory), "state"))
+    """True iff `directory` holds at least one COMMITTED checkpoint: a step
+    dir (or the legacy flat layout) with meta.pkl present whose arrays
+    orbax finished — orbax writes into a tmp dir and renames it to `state/`
+    only on commit, so an interrupted (e.g. preempted mid-async-write) save
+    never gains it.  `--auto-resume` uses this to skip torn checkpoints."""
+    path = os.path.abspath(directory)
+    if _committed_steps(path):
+        return True
+    return (os.path.isdir(os.path.join(path, "state"))
+            and os.path.exists(os.path.join(path, "meta.pkl")))
+
+
+def _resolve_orbax(directory):
+    """(state_path, meta_path) of the newest committed checkpoint under
+    `directory`: the highest committed step dir, or the pre-step-layout
+    flat `state/` + `meta.pkl` (round-3 compat)."""
+    path = os.path.abspath(directory)
+    steps = _committed_steps(path)
+    if steps:
+        step_dir = os.path.join(path, str(steps[-1]))
+        return (os.path.join(step_dir, "state"),
+                os.path.join(step_dir, "meta.pkl"))
+    return os.path.join(path, "state"), os.path.join(path, "meta.pkl")
 
 
 def load_checkpoint_orbax(state_template, directory):
-    """Restore (state, meta).  Leaves of `state_template` that are placed
-    jax Arrays come back with the SAME sharding (each process reads only
-    its shards); host-numpy template leaves restore as host numpy."""
+    """Restore (state, meta) from the newest committed step.  Leaves of
+    `state_template` that are placed jax Arrays come back with the SAME
+    sharding (each process reads only its shards); host-numpy template
+    leaves restore as host numpy."""
     import orbax.checkpoint as ocp
 
     def abstract(x):
@@ -135,12 +192,11 @@ def load_checkpoint_orbax(state_template, directory):
                                         sharding=x.sharding)
         return np.asarray(x)
 
-    path = os.path.abspath(directory)
+    state_path, meta_path = _resolve_orbax(directory)
     with ocp.StandardCheckpointer() as ckptr:
         state = ckptr.restore(
-            os.path.join(path, "state"),
-            jax.tree.map(abstract, state_template))
-    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+            state_path, jax.tree.map(abstract, state_template))
+    with open(meta_path, "rb") as f:
         meta = pickle.load(f)
     return state, meta
 
@@ -151,14 +207,14 @@ def load_checkpoint_params_orbax(state_template, directory):
     match the template (serving loads with opt_cls=None)."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(directory)
+    state_path, meta_path = _resolve_orbax(directory)
     with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(os.path.join(path, "state"))
+        raw = ckptr.restore(state_path)
     params = serialization.from_state_dict(state_template.params,
                                            raw["params"])
     bstats = serialization.from_state_dict(state_template.batch_stats,
                                            raw["batch_stats"])
-    with open(os.path.join(path, "meta.pkl"), "rb") as f:
+    with open(meta_path, "rb") as f:
         meta = pickle.load(f)
     return (state_template.replace(params=params, batch_stats=bstats),
             meta)

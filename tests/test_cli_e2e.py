@@ -114,7 +114,10 @@ def test_train_orbax_async_resume(corpus, tmp_path, monkeypatch):
 
     import pickle
 
-    with open(os.path.join(ckdir, "meta.pkl"), "rb") as f:
+    from dmcnet_tpu.train.checkpoints import _resolve_orbax
+
+    state_path, meta_path = _resolve_orbax(ckdir)
+    with open(meta_path, "rb") as f:
         assert pickle.load(f)["epoch"] == 1  # drained + committed at exit
 
     best2 = train_cli.main(
@@ -124,7 +127,7 @@ def test_train_orbax_async_resume(corpus, tmp_path, monkeypatch):
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:
-        raw = ckptr.restore(os.path.join(ckdir, "state"))
+        raw = ckptr.restore(_resolve_orbax(ckdir)[0])
     assert raw["params"] is not None
 
 

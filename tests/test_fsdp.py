@@ -205,6 +205,33 @@ def test_orbax_commit_detection(tmp_path):
     assert orbax_checkpoint_committed(path)
 
 
+def test_orbax_step_retention_and_fallback(tmp_path):
+    """Every save lands in its own step dir: older committed checkpoints
+    survive the write (no force-delete window), the newest `keep` are
+    retained, and a torn newer step falls back to the last committed one."""
+    import os
+
+    from dmcnet_tpu.train.checkpoints import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+
+    d = str(tmp_path / "ck.orbax")
+    for epoch in (1, 2, 3):
+        save_checkpoint_orbax({"a": np.full(4, float(epoch))},
+                              {"epoch": epoch}, d)
+    kept = sorted(n for n in os.listdir(d) if n.isdigit())
+    assert kept == ["2", "3"]  # keep=2 pruned epoch 1
+
+    # simulate a preemption mid-save of epoch 4: meta written, arrays torn
+    os.makedirs(os.path.join(d, "4", "state.orbax-checkpoint-tmp-9"))
+    with open(os.path.join(d, "4", "meta.pkl"), "wb") as f:
+        f.write(b"torn")
+    state, meta = load_checkpoint_orbax({"a": np.zeros(4)}, d)
+    assert meta["epoch"] == 3  # newest COMMITTED step wins
+    np.testing.assert_array_equal(np.asarray(state["a"]), np.full(4, 3.0))
+
+
 def test_fsdp_eval_matches_replicated_eval():
     """Eval against FSDP-sharded state == eval against replicated state."""
     model, state, _, batch, jbatch = _dmc_setup()
