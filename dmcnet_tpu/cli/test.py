@@ -125,17 +125,32 @@ def main(argv=None):
                                   lr_cls_mult=0.01, lr_mse_mult=0.01,
                                   lr_d_mult=0.01 if args.arch_d else None)
     if args.weights:
-        try:  # framework-native checkpoint first …
-            state, meta = load_checkpoint(state, args.weights)
+        import os
+        if os.path.isdir(args.weights):
+            # orbax directory (--ckpt-backend orbax[-async] training runs);
+            # params-only: the template's optimizer slots need not match
+            # the training run's (e.g. a GAN checkpoint carries opt_d)
+            from dmcnet_tpu.train.checkpoints import (
+                load_checkpoint_params_orbax,
+            )
+            state, meta = load_checkpoint_params_orbax(state, args.weights)
             print(f"model epoch {meta.get('epoch')} best prec@1: "
                   f"{meta.get('best_prec1')}")
-        except Exception:  # … else a reference torch .pth.tar
-            from dmcnet_tpu.train.checkpoints import load_reference_weights
-            params, batch_stats, skipped, _ = load_reference_weights(
-                state, None, args.weights)
-            state = state.replace(params=params, batch_stats=batch_stats)
-            print(f"loaded reference torch weights {args.weights} "
-                  f"(skipped {len(skipped)})")
+        else:
+            try:  # framework-native checkpoint first …
+                state, meta = load_checkpoint(state, args.weights)
+                print(f"model epoch {meta.get('epoch')} best prec@1: "
+                      f"{meta.get('best_prec1')}")
+            except Exception:  # … else a reference torch .pth.tar
+                from dmcnet_tpu.train.checkpoints import (
+                    load_reference_weights,
+                )
+                params, batch_stats, skipped, _ = load_reference_weights(
+                    state, None, args.weights)
+                state = state.replace(params=params,
+                                      batch_stats=batch_stats)
+                print(f"loaded reference torch weights {args.weights} "
+                      f"(skipped {len(skipped)})")
 
     total_seg = args.test_segments * args.test_crops
 

@@ -130,6 +130,18 @@ def test_train_orbax_async_resume(corpus, tmp_path, monkeypatch):
         raw = ckptr.restore(_resolve_orbax(ckdir)[0])
     assert raw["params"] is not None
 
+    # the test driver reads orbax training checkpoints directly
+    from dmcnet_tpu.cli import test as test_cli
+
+    acc = test_cli.main([
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--flow-root", corpus["flow_root"],
+        "--representation", "mv", "--arch", "resnet18",
+        "--arch_estimator", "DenseNetTiny", "--gen_flow_or_delta", "1",
+        "--test-list", corpus["list"], "--weights", ckdir,
+        "--test_segments", "2", "--test-crops", "1", "--input_size", "64"])
+    assert 0.0 <= acc <= 1.0
+
 
 def test_train_auto_resume(corpus, tmp_path, monkeypatch, capsys):
     """--auto-resume: a rerun of the same command picks up the run's own
