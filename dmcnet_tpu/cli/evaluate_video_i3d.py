@@ -91,7 +91,12 @@ def main(argv=None):
     state = TrainState(params=variables["params"],
                        batch_stats=variables.get("batch_stats", {}),
                        opt_cls=None, opt_gf=None)
-    state, meta = load_checkpoint_params(state, args.load_weights)
+    if os.path.isdir(args.load_weights):
+        # orbax directory from --ckpt-backend orbax[-async] training
+        from dmcnet_tpu.train.checkpoints import load_checkpoint_params_orbax
+        state, meta = load_checkpoint_params_orbax(state, args.load_weights)
+    else:
+        state, meta = load_checkpoint_params(state, args.load_weights)
     if args.shard_time:
         import jax.numpy as jnp
         from jax.sharding import NamedSharding, PartitionSpec as P

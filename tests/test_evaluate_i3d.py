@@ -65,9 +65,28 @@ def test_evaluate_video_i3d(corpus, tmp_path):
     assert 0.0 <= top1 <= 100.0
 
     with np.load(score_file + ".npz") as data:
+        scores_msgpack = np.asarray(data["scores"])
         assert data["scores"].shape == (N_VIDS, 51)
         assert data["labels"].shape == (N_VIDS,)
         assert list(data["labels"]) == [v % 3 for v in range(N_VIDS)]
         assert np.isfinite(data["scores"]).all()
         # num_sample averaging happened (scores are means of two rounds)
         assert float(data["top1"]) == top1
+
+    # same eval from an orbax training checkpoint (--ckpt-backend orbax)
+    from dmcnet_tpu.train.checkpoints import save_checkpoint_orbax
+
+    ckdir = save_checkpoint_orbax(state, {"epoch": 1, "top1": 0.0},
+                                  str(tmp_path / "i3d_ck.orbax"))
+    top1_o = main([
+        "--dataset", "HMDB51", "--data-root", str(corpus),
+        "--video-prefix", str(corpus / "videos"),
+        "--modality", "flow+mp4", "--arch-estimator", "DenseNetTiny",
+        "--clip-length", "8", "--num-sample", "2", "--batch-size", "2",
+        "--input-size", "64",
+        "--load-weights", ckdir, "--score-file",
+        str(tmp_path / "i3d_scores_o")])
+    assert top1_o == top1
+    with np.load(str(tmp_path / "i3d_scores_o") + ".npz") as data:
+        np.testing.assert_allclose(np.asarray(data["scores"]),
+                                   scores_msgpack, atol=1e-6)
