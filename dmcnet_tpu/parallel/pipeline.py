@@ -31,6 +31,11 @@ activations to the SAME shape/dtype (pad channels to a common width to
 pipeline heterogeneous blocks), and the microbatch count m must divide the
 batch.  Bubble fraction is (n-1)/(m+n-1) — pick m >= n.
 
+Composes with data parallelism: `make_stage_mesh(data=k)` builds a 2-D
+(stage, data) mesh where each stage is replicated k ways and the
+microbatches' batch dim splits over 'data'; the gradient psum over 'data'
+falls out of the shard_map transpose (tested == serial).
+
 The input batch is fed replicated (every device holds the microbatches;
 stage 0 reads, others ignore) — one H2D broadcast instead of per-step
 host scatters, the right trade at the GOP/clip batch sizes this framework
@@ -45,11 +50,22 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_stage_mesh(devices=None, axis_name="stage"):
-    """1-D pipeline mesh; one stage per device."""
+def make_stage_mesh(devices=None, axis_name="stage", data=1):
+    """Pipeline mesh; one stage per device row.  `data > 1` adds a second
+    'data' axis (pp x dp: each stage is replicated `data` ways and the
+    microbatches' batch dim is split across them).  Adjacent device ids
+    land on 'data' (the inner axis) so the per-hop stage transfers ride
+    longer hops only once per schedule step while the (absent) intra-stage
+    traffic would have used the short ones."""
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), (axis_name,))
+    if data == 1:
+        return Mesh(np.asarray(devices), (axis_name,))
+    n = len(devices)
+    if n % data:
+        raise ValueError(f"{n} devices not divisible by data={data}")
+    grid = np.asarray(devices).reshape(n // data, data)
+    return Mesh(grid, (axis_name, "data"))
 
 
 def stack_stage_params(params_list):
@@ -115,6 +131,14 @@ def make_pipeline_apply(stage_fn, mesh, n_microbatches=None,
         # other devices contribute zeros)
         return jax.lax.psum(jnp.where(is_last, outs, 0), axis_name)
 
+    # pp x dp: on a 2-D (stage, data) mesh the microbatches' batch dim is
+    # additionally split over 'data' — each stage replica pipelines its own
+    # batch shard; gradients reduce over 'data' outside (jax.grad emits the
+    # psum through the shard_map transpose as usual).
+    dp = "data" in mesh.shape
+    in_x = P(None, "data") if dp else P()
+    out = P(None, "data") if dp else P()
+
     def pipelined(stacked_params, x):
         m = n_microbatches or n
         b = x.shape[0]
@@ -123,7 +147,7 @@ def make_pipeline_apply(stage_fn, mesh, n_microbatches=None,
         xs = x.reshape((m, b // m) + x.shape[1:])
         outs = jax.shard_map(
             per_device, mesh=mesh,
-            in_specs=(P(axis_name), P()), out_specs=P(),
+            in_specs=(P(axis_name), in_x), out_specs=out,
             check_vma=False)(stacked_params, xs)
         return outs.reshape((b,) + outs.shape[2:])
 

@@ -100,6 +100,35 @@ def test_pipeline_grad_matches_serial():
         np.testing.assert_allclose(np.asarray(gs["b"]), gp["b"], atol=1e-5)
 
 
+def test_pipeline_composes_with_data_parallel():
+    """pp x dp on a 4x2 (stage, data) mesh: each stage is replicated twice
+    and the microbatch batch dim splits over 'data' — forward AND grads
+    equal the serial model (the grad psum over 'data' comes out of the
+    shard_map transpose automatically)."""
+    rng = np.random.default_rng(4)
+    n_stages = 4
+    params_list = _make_params(rng, n_stages)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 8)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(8, 4, 4, 8)), jnp.float32)
+
+    mesh = make_stage_mesh(jax.devices(), data=2)
+    assert dict(mesh.shape) == {"stage": 4, "data": 2}
+    stacked = shard_stage_params(stack_stage_params(params_list), mesh)
+    pipe = make_pipeline_apply(_conv_stage, mesh, jit=False)
+
+    np.testing.assert_allclose(np.asarray(jax.jit(pipe)(stacked, x)),
+                               np.asarray(_serial(params_list, x)),
+                               atol=1e-6)
+
+    g_pipe = jax.jit(jax.grad(
+        lambda p: jnp.mean((pipe(p, x) - tgt) ** 2)))(stacked)
+    g_serial = jax.grad(
+        lambda ps: jnp.mean((_serial(ps, x) - tgt) ** 2))(params_list)
+    for gs, gp in zip(g_serial, unstack_stage_params(g_pipe, n_stages)):
+        np.testing.assert_allclose(np.asarray(gs["w"]), gp["w"], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(gs["b"]), gp["b"], atol=1e-5)
+
+
 def test_pipeline_params_sharded_per_stage():
     """Each device stores exactly its stage's weights (model sharding)."""
     rng = np.random.default_rng(3)
