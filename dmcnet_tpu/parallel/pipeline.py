@@ -90,14 +90,19 @@ def shard_stage_params(stacked, mesh, axis_name="stage"):
 
 
 def make_pipeline_apply(stage_fn, mesh, n_microbatches=None,
-                        axis_name="stage", jit=True):
+                        axis_name="stage", jit=True, remat=False):
     """Build `fn(stacked_params, x) -> y` running the GPipe schedule.
 
     `stage_fn(params, x) -> y` is one stage (y.shape == x.shape); the
     returned fn equals applying the n stages serially to the full batch.
     `n_microbatches` (default: the stage count) must divide the batch.
+    `remat=True` wraps the stage in `jax.checkpoint` so the backward pass
+    recomputes per-(step, stage) activations instead of keeping all
+    m x n of them live — the standard GPipe memory trade.
     """
     n = mesh.shape[axis_name]
+    if remat:
+        stage_fn = jax.checkpoint(stage_fn)
     fwd = [(i, (i + 1) % n) for i in range(n)]
 
     def per_device(params, xs):

@@ -129,6 +129,26 @@ def test_pipeline_composes_with_data_parallel():
         np.testing.assert_allclose(np.asarray(gs["b"]), gp["b"], atol=1e-5)
 
 
+def test_pipeline_remat_grads_match():
+    """remat=True recomputes stage activations in the backward; grads are
+    identical to the non-remat pipeline (and thus to serial)."""
+    rng = np.random.default_rng(5)
+    params_list = _make_params(rng, N_DEV)
+    x = jnp.asarray(rng.normal(size=(8, 4, 4, 8)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(8, 4, 4, 8)), jnp.float32)
+
+    mesh = make_stage_mesh(jax.devices())
+    stacked = shard_stage_params(stack_stage_params(params_list), mesh)
+    pipe_r = make_pipeline_apply(_conv_stage, mesh, jit=False, remat=True)
+
+    g = jax.jit(jax.grad(
+        lambda p: jnp.mean((pipe_r(p, x) - tgt) ** 2)))(stacked)
+    g_serial = jax.grad(
+        lambda ps: jnp.mean((_serial(ps, x) - tgt) ** 2))(params_list)
+    for gs, gp in zip(g_serial, unstack_stage_params(g, N_DEV)):
+        np.testing.assert_allclose(np.asarray(gs["w"]), gp["w"], atol=1e-5)
+
+
 def test_pipeline_params_sharded_per_stage():
     """Each device stores exactly its stage's weights (model sharding)."""
     rng = np.random.default_rng(3)
