@@ -87,7 +87,54 @@ def build_parser():
                         choices=['raise', 'zero'],
                         help='zero = keep the batch alive through corrupt '
                              'videos (zero scores + stderr report)')
+    parser.add_argument('--stdin', action='store_true',
+                        help='daemon mode: read one request per line from '
+                             'stdin (a video path, or JSON '
+                             '{"path": ..., "id": ...}) and emit one JSON '
+                             'result line per request — the compiled '
+                             'predictor stays warm between requests; '
+                             'combine with --warmup to absorb the compile '
+                             'before traffic')
     return parser
+
+
+def serve_stdin(predictor, args, inp=None, out=None):
+    """JSON-lines request loop: one video per line, one result per line.
+
+    Per-request failures never kill the daemon — they emit an
+    {"error": ...} line (a production server must outlive one corrupt
+    upload).  EOF on stdin ends the loop."""
+    import json
+
+    inp = inp if inp is not None else sys.stdin
+    out = out if out is not None else sys.stdout
+    for i, line in enumerate(inp):
+        line = line.strip()
+        if not line:
+            continue
+        req = {"path": line, "id": i}
+        if line.startswith("{"):
+            try:
+                req = {"id": i, **json.loads(line)}
+            except ValueError as exc:
+                print(json.dumps({"id": i, "error": f"bad json: {exc}"}),
+                      file=out, flush=True)
+                continue
+        t0 = time.time()
+        try:
+            scores = predictor.predict_videos(
+                [req["path"]], frames_per_gop=args.frames_per_gop,
+                backend=args.backend, chunk_gops=args.chunk_gops,
+                host_workers=args.host_workers, on_error=args.on_error)
+            s = np.asarray(scores[0])
+            result = {"id": req["id"], "path": req["path"],
+                      "pred": int(s.argmax()), "score": float(s.max()),
+                      "ms": round((time.time() - t0) * 1e3, 2)}
+        except Exception as exc:  # noqa: BLE001 — daemon must survive
+            result = {"id": req["id"], "path": req.get("path"),
+                      "error": repr(exc)[:200],
+                      "ms": round((time.time() - t0) * 1e3, 2)}
+        print(json.dumps(result), file=out, flush=True)
 
 
 def parse_inputs(args):
@@ -126,7 +173,8 @@ def main(argv=None):
 
     num_class = args.num_class or num_classes_for(args.data_name or
                                                   'hmdb51')
-    paths, labels, names = parse_inputs(args)
+    if not args.stdin:
+        paths, labels, names = parse_inputs(args)
 
     mesh = None
     if args.mesh_devices:
@@ -153,6 +201,9 @@ def main(argv=None):
         predictor.warmup(geometries=geoms, chunk_gops=args.chunk_gops,
                          frames_per_gop=args.frames_per_gop)
         print(f"warmed {len(geoms)} geometries in {time.time() - t0:.1f}s")
+
+    if args.stdin:
+        return serve_stdin(predictor, args)
 
     t0 = time.time()
     scores = predictor.predict_videos(paths,

@@ -64,6 +64,51 @@ def test_serve_cli_list_and_npz(tmp_path, capsys):
     np.testing.assert_allclose(pair[0][0], scores[1], rtol=1e-6)
 
 
+def test_serve_cli_stdin_daemon(tmp_path, monkeypatch, capsys):
+    """--stdin daemon: one JSON result line per request (bare path or JSON
+    request with an id), errors answered in-band without killing the loop,
+    predictions identical to batch mode."""
+    import io
+    import json
+    import sys as _sys
+
+    from dmcnet_tpu.cli import serve
+
+    for i in range(2):
+        _encode_panning(str(tmp_path / f"v{i}.avi"),
+                        np.random.default_rng(60 + i), n=14)
+    garbage = tmp_path / "bad.avi"
+    garbage.write_bytes(b"not a video")
+    ckpt = _save_tiny_checkpoint(tmp_path)
+
+    requests = "\n".join([
+        str(tmp_path / "v0.avi"),
+        json.dumps({"path": str(tmp_path / "v1.avi"), "id": "req-7"}),
+        str(garbage),
+        "{bad json",
+    ]) + "\n"
+    monkeypatch.setattr(_sys, "stdin", io.StringIO(requests))
+    serve.main(["--weights", ckpt, "--num-class", "5",
+                "--input_size", "64", "--frames-per-gop", "2",
+                "--chunk-gops", "8", "--stdin"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 4
+    assert lines[0]["path"].endswith("v0.avi") and "pred" in lines[0]
+    assert lines[1]["id"] == "req-7" and "pred" in lines[1]
+    assert "error" in lines[2]  # corrupt video answered in-band
+    assert "error" in lines[3]  # bad json answered in-band
+    assert all(l["ms"] >= 0 for l in lines if "ms" in l)
+
+    # daemon predictions == batch mode on the same videos
+    batch = serve.main(["--weights", ckpt, "--num-class", "5",
+                        "--input_size", "64", "--frames-per-gop", "2",
+                        "--chunk-gops", "8",
+                        str(tmp_path / "v0.avi"), str(tmp_path / "v1.avi")])
+    assert lines[0]["pred"] == int(np.argmax(batch[0]))
+    assert lines[1]["pred"] == int(np.argmax(batch[1]))
+
+
 def test_serve_cli_bare_paths(tmp_path, capsys):
     from dmcnet_tpu.cli import serve
 
