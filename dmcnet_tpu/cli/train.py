@@ -273,6 +273,8 @@ def main(argv=None, gan=False, input_size=224):
 
     batches_per_epoch = max(1, len(train_ds) // args.batch_size)
     rng = jax.random.key(1)
+    from dmcnet_tpu.utils.metrics_log import MetricsLogger
+    mlog = MetricsLogger(getattr(args, "metrics_jsonl", None))
 
     for epoch in range(start_epoch, args.epochs):
         lr = step_decay_lr(args.lr, epoch, args.lr_steps, args.lr_decay)
@@ -351,6 +353,13 @@ def main(argv=None, gan=False, input_size=224):
                             f"\tacc_D_adv {meters['acc_D_adv'].avg:.3f}"
                             f"\tacc_G_adv {meters['acc_G_adv'].avg:.3f}")
                 print(line)
+                mlog.log("train", epoch=epoch, step=i, lr=lr,
+                         loss=meters["loss"].avg, top1=meters["top1"].avg,
+                         top5=meters["top5"].avg,
+                         batch_time=meters["batch_time"].avg,
+                         data_time=meters["data_time"].avg,
+                         **({"loss_adv": meters["loss_adv"].avg}
+                            if gan else {}))
         flush_pending(pending, meters)  # tail batches past the last print
         if profiling:  # epoch shorter than the trace window
             jax.profiler.stop_trace()
@@ -359,6 +368,7 @@ def main(argv=None, gan=False, input_size=224):
         if epoch % args.eval_freq == 0 or epoch == args.epochs - 1:
             prec1 = validate(val_ds, val_asm, eval_step, state, args,
                              aug_kwargs, place=eval_place)
+            mlog.log("eval", epoch=epoch, prec1=prec1)
             is_best = prec1 > best_prec1
             best_prec1 = max(prec1, best_prec1)
             if is_best or epoch % SAVE_FREQ == 0:
@@ -389,6 +399,7 @@ def main(argv=None, gan=False, input_size=224):
                         host_state, ref, epoch=epoch + 1, arch=args.arch,
                         best_prec1=best_prec1)
                     print(f"reference-format checkpoint: {ref}")
+    mlog.close()
     if args.ckpt_backend == "orbax-async":
         # drain in-flight background writes before the process exits
         from dmcnet_tpu.train.checkpoints import wait_for_checkpoints

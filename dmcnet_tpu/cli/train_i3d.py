@@ -73,6 +73,10 @@ def build_parser(dataset_default="HMDB51"):
                    help="classifier re-init source (the reference hardcodes "
                         "this path, train_model.py:193)")
     p.add_argument('--resume-epoch', type=int, default=-1)
+    p.add_argument('--metrics-jsonl', type=str, default=None,
+                   help='append one JSON object per train/eval log event '
+                        '(machine-readable twin of the stdout lines; '
+                        'process 0 only).')
     p.add_argument('--auto-resume', type=int, default=0,
                    help="preemption-safe restart: resume from this run's "
                         'newest per-epoch checkpoint if any exists '
@@ -456,6 +460,8 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         sched_steps, args.lr_d if args.lr_d else args.lr_base,
         args.lr_factor)
 
+    from dmcnet_tpu.utils.metrics_log import MetricsLogger
+    mlog = MetricsLogger(getattr(args, "metrics_jsonl", None))
     batches_per_epoch = max(1, len(train_ds) //
                             (args.batch_size * args.iter_size))
     rng = jax.random.key(args.random_seed)
@@ -517,6 +523,11 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                       f"Speed: {meters['speed'].avg:.2f} samples/sec  "
                       f"loss-ce {meters['loss_cls'].avg:.5f}  "
                       f"top-1 {meters['top1'].avg:.5f}")
+                mlog.log("train", epoch=epoch, step=i_batch,
+                         speed=meters["speed"].avg,
+                         loss_cls=meters["loss_cls"].avg,
+                         loss_mse=meters["loss_mse"].avg,
+                         top1=meters["top1"].avg)
 
         # per-epoch eval with score accumulation (model.py:531-577).  The
         # ragged final batch is padded to the fixed batch size (one XLA
@@ -548,6 +559,8 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         top1 = top1_m.avg
         print(f"Epoch[{epoch}] eval top-1: {top1:.3f} "
               f"({time.time() - t_epoch:.1f}s)")
+        mlog.log("eval", epoch=epoch, top1=top1,
+                 epoch_s=round(time.time() - t_epoch, 1))
         if top1 > best_top1:
             best_top1 = top1
             # multi-host: scores are replicated; write once (process 0)
@@ -568,6 +581,7 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                                       wait=args.ckpt_backend != "orbax-async")
             else:
                 save_checkpoint(state, meta, ckpt)
+    mlog.close()
     if args.ckpt_backend == "orbax-async":
         # drain in-flight background writes before the process exits
         from dmcnet_tpu.train.checkpoints import wait_for_checkpoints

@@ -111,6 +111,10 @@ def build_parser(gan=False):
                              '(host:port); unset = single-process.')
     parser.add_argument('--dist-num-processes', type=int, default=None)
     parser.add_argument('--dist-process-id', type=int, default=None)
+    parser.add_argument('--metrics-jsonl', type=str, default=None,
+                        help='append one JSON object per train/eval log '
+                             'event (machine-readable twin of the stdout '
+                             'lines; process 0 only).')
     parser.add_argument('--auto-resume', type=int, default=0,
                         help='preemption-safe restart: resume from this '
                              "run's own checkpoint if it exists (no-op on "

@@ -160,6 +160,7 @@ def test_train_auto_resume(corpus, tmp_path, monkeypatch, capsys):
         "--eval-freq", "1", "--workers", "2",
         "--model-prefix", str(tmp_path / "ar"),
         "--auto-resume", "1",
+        "--metrics-jsonl", str(tmp_path / "metrics.jsonl"),
     ]
     train_cli.main(args + ["--epochs", "1"], input_size=64)
     out1 = capsys.readouterr().out
@@ -171,6 +172,18 @@ def test_train_auto_resume(corpus, tmp_path, monkeypatch, capsys):
     out2 = capsys.readouterr().out
     assert "--auto-resume: found" in out2
     assert "Epoch: [0]" not in out2 and "Epoch: [1]" in out2
+
+    # --metrics-jsonl: machine-readable twin of the stdout lines, appended
+    # across the resume
+    import json
+
+    records = [json.loads(l)
+               for l in open(tmp_path / "metrics.jsonl").read().splitlines()]
+    kinds = [(r["kind"], r["epoch"]) for r in records]
+    assert ("train", 0) in kinds and ("train", 1) in kinds
+    assert ("eval", 0) in kinds and ("eval", 1) in kinds
+    tr0 = next(r for r in records if r["kind"] == "train")
+    assert {"loss", "top1", "lr", "step", "wall_s"} <= set(tr0)
 
 
 def test_train_gan_cli(corpus, tmp_path, monkeypatch):
