@@ -15,19 +15,19 @@ than re-decoding the file per call.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from dmcnet_tpu.codec.accumulate import gop_mv_residual
-from dmcnet_tpu.codec.mpeg4 import VideoReader
+from dmcnet_tpu.codec.mpeg4 import shared_reader_cache
 
 IFRAME, MV, RESIDUAL = 0, 1, 2
 
 
-@functools.lru_cache(maxsize=32)
 def _reader(path):
-    return VideoReader(path)
+    # One process-wide reader cache shared with the datasets/serving: one
+    # byte/count budget, one eviction policy — a process mixing the compat
+    # API with the datasets never double-opens a file.
+    return shared_reader_cache().get(path)
 
 
 def get_num_frames(path):

@@ -72,6 +72,13 @@ def _lib():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
         ctypes.c_char_p]
+    lib.cv_encode_named.restype = ctypes.c_int
+    lib.cv_encode_named.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int64, ctypes.c_char_p]
+    lib.cv_codec_id.restype = ctypes.c_int
+    lib.cv_codec_id.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -95,6 +102,14 @@ class VideoReader:
         self.height = self._lib.cv_height(self._handle)
         self.num_frames = self._lib.cv_num_frames(self._handle)
         self.num_gops = self._lib.cv_num_gops(self._handle)
+        # libavcodec AVCodecID of the stream.  Frame (rgb/iframe) decode is
+        # codec-generic — any codec libavcodec ships a decoder for works,
+        # matching the reference's cv2-based rgb reader
+        # (code/dmcnet_I3D/data/video_iterator.py:185-309).  MV/residual
+        # semantics are only defined for MPEG-4 part 2 (AV_CODEC_ID_MPEG4
+        # == 12), the format the dmcnet pipeline standardises on.
+        self.codec_id = self._lib.cv_codec_id(self._handle)
+        self.is_mpeg4 = self.codec_id == 12
         self._cache = {}
         self._cache_order = []
         self._cache_gops = cache_gops
@@ -102,37 +117,49 @@ class VideoReader:
     def gop_len(self, gop):
         return self._lib.cv_gop_len(self._handle, gop)
 
-    def decode_gop(self, gop):
+    def decode_gop(self, gop, with_mv=True):
         """Decode one GOP -> (frames_bgr (T,H,W,3) uint8, mv_maps (T,H,W,2) int16).
 
         Small LRU keeps recently decoded GOPs (TSN often samples several
-        frames from the same GOP).
+        frames from the same GOP).  `with_mv=False` skips the dense MV
+        rasterization in native code entirely and returns mv_maps=None —
+        the rgb/I modalities never touch motion vectors, and non-MPEG4
+        codecs (H.264 originals) have no dmcnet MV semantics to export.
         """
         with self._lock:
-            if gop in self._cache:
-                return self._cache[gop]
+            hit = self._cache.get((gop, True))
+            if hit is None and not with_mv:
+                hit = self._cache.get((gop, False))
+            if hit is not None:
+                return hit
         n = self.gop_len(gop)
         if n <= 0:
             raise IndexError(f"gop {gop} out of range (num_gops={self.num_gops})")
         frames = np.zeros((n, self.height, self.width, 3), np.uint8)
-        mv_maps = np.zeros((n, self.height, self.width, 2), np.int16)
+        if with_mv:
+            mv_maps = np.zeros((n, self.height, self.width, 2), np.int16)
+            mv_ptr = mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+        else:
+            mv_maps, mv_ptr = None, None
         # cv_decode_gop is thread-safe (fresh codec context per call; the
         # handle's packet index is immutable after open) — no lock here, so
         # loader threads decode different GOPs of one video concurrently.
         got = self._lib.cv_decode_gop(
             self._handle, gop,
             frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), n)
+            mv_ptr, n)
         if got < 0:
             raise IOError(f"decode failed for gop {gop}: "
                           f"{self._lib.cv_error(self._handle).decode()}")
-        frames, mv_maps = frames[:got], mv_maps[:got]
+        frames = frames[:got]
+        if mv_maps is not None:
+            mv_maps = mv_maps[:got]
         with self._lock:
-            self._cache[gop] = (frames, mv_maps)
-            self._cache_order.append(gop)
+            self._cache[(gop, with_mv)] = (frames, mv_maps)
+            self._cache_order.append((gop, with_mv))
             while len(self._cache_order) > self._cache_gops:
                 old = self._cache_order.pop(0)
-                if old != gop:
+                if old != (gop, with_mv):
                     self._cache.pop(old, None)
         return frames, mv_maps
 
@@ -238,9 +265,39 @@ class ReaderCache:
     def __len__(self):
         return len(self._readers)
 
+    def request_capacity(self, max_readers):
+        """Grow the budget to at least `max_readers` (never shrinks
+        implicitly — the budget of a shared cache is the max any consumer
+        asked for)."""
+        with self._lock:
+            if max_readers > self._max:
+                self._max = max_readers
+
     def clear(self):
         with self._lock:
             self._readers.clear()
+
+
+_SHARED_READERS = None
+_SHARED_READERS_LOCK = threading.Lock()
+
+
+def shared_reader_cache(max_readers=None):
+    """The process-wide `ReaderCache`: one budget, one eviction policy.
+
+    Every in-process consumer of `VideoReader`s (both datasets, the coviar
+    compat shim, serving) keys into this single LRU, so a process mixing
+    access paths never double-opens or double-buffers a file.  Passing
+    `max_readers` grows the shared budget to at least that many open
+    readers.
+    """
+    global _SHARED_READERS
+    with _SHARED_READERS_LOCK:
+        if _SHARED_READERS is None:
+            _SHARED_READERS = ReaderCache(max_readers=max_readers or 32)
+        elif max_readers is not None:
+            _SHARED_READERS.request_capacity(max_readers)
+    return _SHARED_READERS
 
 
 def encode_mpeg4(path, frames_bgr, gop_size=12, bit_rate=640_000,
@@ -261,3 +318,19 @@ def encode_mpeg4(path, frames_bgr, gop_size=12, bit_rate=640_000,
         t, h, w, gop_size, bit_rate, container.encode())
     if rc != 0:
         raise IOError(f"mpeg4 encode failed with code {rc}")
+
+
+def encode_video(path, frames_bgr, codec="mpeg4", gop_size=12,
+                 bit_rate=640_000, container="avi"):
+    """Encode (T, H, W, 3) uint8 BGR frames with any named libavcodec
+    encoder (e.g. 'mpeg2video', 'mjpeg').  Lets tests synthesize non-MPEG4
+    clips to exercise the codec-generic rgb decode path without the ffmpeg
+    CLI (no cv2/ffmpeg binary in this environment)."""
+    frames_bgr = np.ascontiguousarray(frames_bgr, dtype=np.uint8)
+    t, h, w, _ = frames_bgr.shape
+    rc = _lib().cv_encode_named(
+        os.fspath(path).encode(), codec.encode(),
+        frames_bgr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t, h, w, gop_size, bit_rate, container.encode())
+    if rc != 0:
+        raise IOError(f"{codec} encode failed with code {rc}")

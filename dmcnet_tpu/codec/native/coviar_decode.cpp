@@ -46,6 +46,12 @@ struct Handle {
   std::vector<uint8_t> extradata;  // container-level decoder config (mp4)
   int width = 0;
   int height = 0;
+  // Codec of the demuxed stream.  rgb/iframe decode works for ANY codec
+  // libavcodec supports (matching the reference's cv2 `Video` class,
+  // code/dmcnet_I3D/data/video_iterator.py:185-309); dense MV export is
+  // only meaningful for codecs whose decoders export motion vectors
+  // (MPEG-4 part 2 being the dmcnet contract).
+  int codec_id = (int)AV_CODEC_ID_MPEG4;
   std::string error;
 };
 
@@ -73,6 +79,7 @@ bool demux_all(Handle* h, const char* path) {
   AVCodecParameters* par = fmt->streams[vstream]->codecpar;
   h->width = par->width;
   h->height = par->height;
+  if (par->codec_id != AV_CODEC_ID_NONE) h->codec_id = (int)par->codec_id;
   if (par->extradata && par->extradata_size > 0) {
     h->extradata.assign(par->extradata,
                         par->extradata + par->extradata_size);
@@ -130,8 +137,9 @@ struct Decoder {
   AVCodecContext* ctx = nullptr;
   SwsContext* sws = nullptr;
 
-  bool init(int export_mvs, const std::vector<uint8_t>& extradata = {}) {
-    const AVCodec* codec = avcodec_find_decoder(AV_CODEC_ID_MPEG4);
+  bool init(int export_mvs, int codec_id,
+            const std::vector<uint8_t>& extradata = {}) {
+    const AVCodec* codec = avcodec_find_decoder((AVCodecID)codec_id);
     if (!codec) return false;
     ctx = avcodec_alloc_context3(codec);
     if (!ctx) return false;
@@ -197,6 +205,12 @@ int cv_ok(void* handle) {
 int cv_width(void* handle) { return static_cast<Handle*>(handle)->width; }
 int cv_height(void* handle) { return static_cast<Handle*>(handle)->height; }
 
+// libavcodec AVCodecID of the demuxed stream (rgb decode is codec-generic;
+// callers gate MV semantics on this — AV_CODEC_ID_MPEG4 == 12).
+int cv_codec_id(void* handle) {
+  return static_cast<Handle*>(handle)->codec_id;
+}
+
 // Packet count == frame count for the no-B-frame MPEG-4 streams this targets,
 // matching the reference's parser-packet counting (coviar_data_loader.c:486).
 int cv_num_frames(void* handle) {
@@ -252,7 +266,7 @@ static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
                                                  : (int)h->packets.size();
 
   Decoder dec;
-  if (!dec.init(/*export_mvs=*/1, h->extradata)) {
+  if (!dec.init(/*export_mvs=*/1, h->codec_id, h->extradata)) {
     set_error(h, "decoder init failed");
     return -1;
   }
@@ -344,11 +358,14 @@ static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
 // Test-support encoder: raw BGR frames -> MPEG-4 (part 2) .avi
 // ---------------------------------------------------------------------------
 
-int cv_encode_mpeg4_fmt(const char* path, const uint8_t* frames_bgr,
-                        int num_frames, int height, int width, int gop_size,
-                        int64_t bit_rate, const char* container) {
-  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+static int encode_impl(const char* path, const AVCodec* codec,
+                       const uint8_t* frames_bgr, int num_frames, int height,
+                       int width, int gop_size, int64_t bit_rate,
+                       const char* container) {
   if (!codec) return -1;
+  // Codec-native pixel format (e.g. mjpeg wants YUVJ420P).
+  const AVPixelFormat pix =
+      codec->pix_fmts ? codec->pix_fmts[0] : AV_PIX_FMT_YUV420P;
 
   AVFormatContext* fmt = nullptr;
   // container "m4v" writes the raw MPEG-4 elementary stream (what the
@@ -361,7 +378,7 @@ int cv_encode_mpeg4_fmt(const char* path, const uint8_t* frames_bgr,
   AVCodecContext* ctx = avcodec_alloc_context3(codec);
   ctx->width = width;
   ctx->height = height;
-  ctx->pix_fmt = AV_PIX_FMT_YUV420P;
+  ctx->pix_fmt = pix;
   ctx->time_base = AVRational{1, 25};
   ctx->gop_size = gop_size;
   ctx->max_b_frames = 0;
@@ -378,10 +395,10 @@ int cv_encode_mpeg4_fmt(const char* path, const uint8_t* frames_bgr,
   if (avformat_write_header(fmt, nullptr) < 0) return -5;
 
   SwsContext* sws = sws_getContext(width, height, AV_PIX_FMT_BGR24, width,
-                                   height, AV_PIX_FMT_YUV420P, SWS_BICUBIC,
+                                   height, pix, SWS_BICUBIC,
                                    nullptr, nullptr, nullptr);
   AVFrame* frame = av_frame_alloc();
-  frame->format = AV_PIX_FMT_YUV420P;
+  frame->format = pix;
   frame->width = width;
   frame->height = height;
   av_frame_get_buffer(frame, 0);
@@ -422,6 +439,26 @@ int cv_encode_mpeg4_fmt(const char* path, const uint8_t* frames_bgr,
   if (!(fmt->oformat->flags & AVFMT_NOFILE)) avio_closep(&fmt->pb);
   avformat_free_context(fmt);
   return rc;
+}
+
+int cv_encode_mpeg4_fmt(const char* path, const uint8_t* frames_bgr,
+                        int num_frames, int height, int width, int gop_size,
+                        int64_t bit_rate, const char* container) {
+  return encode_impl(path, avcodec_find_encoder(AV_CODEC_ID_MPEG4),
+                     frames_bgr, num_frames, height, width, gop_size,
+                     bit_rate, container);
+}
+
+// Encode with any named libavcodec encoder (e.g. "mpeg2video", "mjpeg",
+// "libx264" where present) — used by tests to synthesize non-MPEG4 clips so
+// the codec-generic rgb decode path is exercised without the ffmpeg CLI.
+int cv_encode_named(const char* path, const char* codec_name,
+                    const uint8_t* frames_bgr, int num_frames, int height,
+                    int width, int gop_size, int64_t bit_rate,
+                    const char* container) {
+  return encode_impl(path, avcodec_find_encoder_by_name(codec_name),
+                     frames_bgr, num_frames, height, width, gop_size,
+                     bit_rate, container);
 }
 
 int cv_encode_mpeg4(const char* path, const uint8_t* frames_bgr,

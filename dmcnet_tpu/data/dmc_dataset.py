@@ -32,7 +32,7 @@ from typing import Optional
 import numpy as np
 
 from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_numpy
-from dmcnet_tpu.codec.mpeg4 import ReaderCache
+from dmcnet_tpu.codec.mpeg4 import shared_reader_cache
 from dmcnet_tpu.data import transforms as T
 from dmcnet_tpu.data.lists import load_video_list
 from dmcnet_tpu.data.sampling import test_frame_index, train_frame_index
@@ -69,8 +69,12 @@ class GopCache:
     def nbytes(self):
         return self._bytes
 
-    def get(self, reader, path, gop, accumulate, minmax_bound=None):
-        key = (path, gop, accumulate, minmax_bound)
+    def get(self, reader, path, gop, accumulate, minmax_bound=None,
+            frames_only=False):
+        """`frames_only=True` skips MV rasterization + accumulation entirely
+        (rgb/I modalities; also the only valid mode for non-MPEG4 inputs)
+        and returns (frames, empty, empty)."""
+        key = (path, gop, accumulate, minmax_bound, frames_only)
         with self._lock:
             if key in self._items:
                 self._items.move_to_end(key)
@@ -85,7 +89,8 @@ class GopCache:
                     if key in self._items:
                         self._items.move_to_end(key)
                         return self._items[key]
-                value = self._decode(reader, gop, accumulate, minmax_bound)
+                value = self._decode(reader, gop, accumulate, minmax_bound,
+                                     frames_only)
             with self._lock:
                 self._insert(key, value)
             return value
@@ -99,7 +104,12 @@ class GopCache:
                 if self._decoding.get(key) is gate:
                     del self._decoding[key]
 
-    def _decode(self, reader, gop, accumulate, minmax_bound):
+    def _decode(self, reader, gop, accumulate, minmax_bound,
+                frames_only=False):
+        if frames_only:
+            frames, _ = reader.decode_gop(gop, with_mv=False)
+            empty = np.empty((0,), np.uint8)
+            return (frames, empty, empty)
         frames, mv_maps = reader.decode_gop(gop)
         try:
             from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_u8
@@ -154,7 +164,9 @@ class CoviarDataset:
             video_list, data_root, flow_root)
         # Budgets are host-dependent (a 9.5k-video UCF-101 run wants more
         # than the defaults) — exposed as --gop-cache-mb / --reader-cache.
-        self._readers = ReaderCache(max_readers=reader_cache)
+        # Shared process-wide cache: one budget across datasets +
+        # compat shim + serving (grows to the largest request).
+        self._readers = shared_reader_cache(reader_cache)
         self._gops = GopCache(max_bytes=int(gop_cache_mb) << 20)
         self._failed = set()  # paths already warned about (log once)
 

@@ -29,7 +29,7 @@ import threading
 import numpy as np
 
 from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_numpy
-from dmcnet_tpu.codec.mpeg4 import ReaderCache
+from dmcnet_tpu.codec.mpeg4 import shared_reader_cache
 from dmcnet_tpu.data import transforms as T
 from dmcnet_tpu.data.dmc_dataset import GopCache
 from dmcnet_tpu.data.sampling import SequentialSampling, get_gop_pos_i3d
@@ -52,7 +52,7 @@ class VideoClipDataset:
         self.gop = gop
         self.max_retries = max_retries
         self.rng = np.random.default_rng(seed)
-        self._readers = ReaderCache(max_readers=32)
+        self._readers = shared_reader_cache(32)
         self._gops = GopCache()
         self._sampler_lock = threading.Lock()
         self._backup_item = None
@@ -94,8 +94,14 @@ class VideoClipDataset:
         reader = self._reader(item.path)
         gop_index = max(0, min(gop_index, reader.num_gops - 1))
         bound = 20 if self.mv_minmaxnorm else None
+        # rgb/I never touch motion vectors: skip MV rasterization +
+        # accumulation (also the only valid mode for non-MPEG4 originals,
+        # e.g. H.264 — matching the reference's codec-generic cv2 rgb
+        # reader, code/dmcnet_I3D/data/video_iterator.py:185-309).
+        frames_only = self.modality in ("rgb", "I")
         frames, mv_enc, res_enc = self._gops.get(
-            reader, item.path, gop_index, self.accumulate, bound)
+            reader, item.path, gop_index, self.accumulate, bound,
+            frames_only=frames_only)
         gop_pos = min(gop_pos, len(frames) - 1)
 
         def mv_u8():

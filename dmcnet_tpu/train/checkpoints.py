@@ -27,6 +27,9 @@ def save_checkpoint(state, meta, filename, is_best=False):
         "meta": dict(meta),
         "state": serialization.to_bytes(jax.tree.map(np.asarray, state)),
     }
+    parent = os.path.dirname(filename)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
     tmp = filename + ".tmp"
     with open(tmp, "wb") as f:
         pickle.dump(payload, f)

@@ -39,6 +39,25 @@ def test_clip_shapes(items, modality, ch):
     assert clip.dtype == np.uint8
 
 
+def test_rgb_clip_from_h264_original(tmp_path):
+    """rgb training straight off an untranscoded H.264 file — the reference
+    capability (cv2 Video class, code/dmcnet_I3D/data/video_iterator.py:
+    185-309) that round 3 flagged as missing; no MPEG-4 re-encode needed."""
+    from dmcnet_tpu.codec.mpeg4 import encode_video
+    rng = np.random.default_rng(11)
+    path = tmp_path / "orig.mp4"
+    frames = (rng.integers(0, 256, size=(T, H, W, 3)) // 4 * 4).astype(
+        np.uint8)
+    encode_video(path, frames, codec="libx264", gop_size=12,
+                 bit_rate=2_000_000, container="mp4")
+    items_ = [VideoItem(str(path), 0, T, None)]
+    ds = VideoClipDataset(items_, RandomSampling(num=8, seed=0),
+                          modality="rgb")
+    clip, label = ds[0]
+    assert clip.shape == (8, H, W, 3) and clip.dtype == np.uint8
+    assert clip.std() > 1  # actual decoded content, not zero-fill
+
+
 def test_sequential_eval_deterministic_cursor(items):
     samp = SequentialSampling(num=4, interval=1, fix_cursor=True,
                               shuffle=False)

@@ -10,7 +10,8 @@ import pytest
 
 from dmcnet_tpu.codec import coviar_compat
 from dmcnet_tpu.codec.accumulate import gop_mv_residual
-from dmcnet_tpu.codec.mpeg4 import VideoReader, encode_mpeg4
+from dmcnet_tpu.codec.mpeg4 import (VideoReader, encode_mpeg4, encode_video,
+                                    shared_reader_cache)
 
 
 def _textured_frames(rng, t, h, w, shift_per_frame=(2, 1)):
@@ -91,6 +92,46 @@ def test_residual_smaller_than_frame_diff(video):
         raw_diff = np.abs(frames[t].astype(int) - frames[0].astype(int)).mean()
         comp_diff = np.abs(np.asarray(res)[t]).mean()
         assert comp_diff < raw_diff * 0.5, (comp_diff, raw_diff)
+
+
+@pytest.mark.parametrize("codec,container,codec_id", [
+    ("libx264", "mp4", 27),      # H.264 — the reference datasets' original
+                                 # codec before MPEG-4 re-encode
+    ("mpeg2video", "avi", 2),
+])
+def test_generic_codec_rgb_decode(tmp_path, codec, container, codec_id):
+    """rgb/iframe decode works for ANY libavcodec-supported codec, not just
+    MPEG-4 re-encodes — matching the reference's cv2 `Video` class which
+    plays the original H.264 files for the rgb stream
+    (code/dmcnet_I3D/data/video_iterator.py:185-309)."""
+    rng = np.random.default_rng(3)
+    frames = _textured_frames(rng, t=24, h=128, w=192)
+    path = str(tmp_path / f"clip_{codec}.{container}")
+    encode_video(path, frames, codec=codec, gop_size=12,
+                 bit_rate=4_000_000, container=container)
+    with VideoReader(path) as r:
+        assert r.codec_id == codec_id and not r.is_mpeg4
+        assert r.width == 192 and r.height == 128
+        assert r.num_frames == 24 and r.num_gops == 2
+        dec, _ = r.decode_gop(0)
+        assert dec.shape == (r.gop_len(0), 128, 192, 3)
+        err = np.abs(dec[0].astype(int) - frames[0].astype(int)).mean()
+        assert err < 12.0, f"{codec} I-frame decode error too high: {err}"
+        # P-frames decode too (full GOP, presentation order).
+        err6 = np.abs(dec[6].astype(int) - frames[6].astype(int)).mean()
+        assert err6 < 16.0, err6
+
+
+def test_shared_reader_cache_single_instance(video):
+    """All access paths (compat shim, datasets) key into ONE process-wide
+    reader cache — no double-open / double-buffer of the same file."""
+    path, _ = video
+    cache = shared_reader_cache()
+    coviar_compat.get_num_frames(path)  # populates via the compat shim
+    assert cache.get(path) is coviar_compat._reader(path)
+    before = len(cache)
+    coviar_compat.load(path, 0, 1, coviar_compat.MV, True)
+    assert len(cache) == before  # no second reader for the same path
 
 
 def test_coviar_compat_api(video):
