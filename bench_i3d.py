@@ -17,7 +17,7 @@ import numpy as np
 
 
 def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
-            iter_size=1, detach=True, packed=0, train_backbone=True,
+            iter_size=1, stop_gradient=False, packed=0, train_backbone=True,
             remat=False):
     from dmcnet_tpu.models.i3d import I3D, init_i3d_variables
     from dmcnet_tpu.train.engine import TrainState
@@ -37,7 +37,8 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
     state = TrainState(params=params, batch_stats=bstats,
                        opt_cls=opts["cls"].init(params),
                        opt_gf=opts["gf"].init(params))
-    _, g_step = make_i3d_steps(net, opts, adv=0.0, detach=detach,
+    _, g_step = make_i3d_steps(net, opts, adv=0.0,
+                               stop_gradient=stop_gradient,
                                train_backbone=train_backbone)
     bd = {
         "mv": jnp.asarray(rng.normal(size=(iter_size, batch, t, hw, hw, 2)),
@@ -72,21 +73,29 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
         "value": round(n_samples / dt, 2),
         "unit": "samples/s",
         "note": f"I3D flow+mp4 G step, batch {batch} x clip {t} @ {hw}^2, "
-                f"detach={int(detach)} (train.sh recipe)"
+                "reference-faithful gradients (no stem stop-grad — the "
+                "reference never detaches in fit, model.py:355,414)"
                 + (" (bf16)" if dtype is not None else "")
                 + (f" (packed s={packed})" if packed else "")
-                + (" (remat)" if remat else "")
+                + (f" (remat={remat})" if remat else "")
+                + (" (stop-gradient fast mode)" if stop_gradient else "")
                 + ("" if train_backbone else " (stage-1 frozen backbone)"),
     }
 
 
 def measure_both():
-    """Flagship train.sh recipe (--detach 1): stage-2 G step f32 as the
-    headline, plus bf16 / packed-generator / stage-1-frozen variants."""
+    """Flagship train.sh recipe: stage-2 G step f32 as the headline
+    (reference-faithful gradients), plus bf16 / packed-generator /
+    remat='dots' (save-conv-outs backward, the HBM-traffic lever) /
+    stop-gradient fast mode / stage-1-frozen variants."""
     out = measure()
     out["bf16_samples_per_sec"] = measure(dtype=jnp.bfloat16)["value"]
     out["packed_bf16_samples_per_sec"] = measure(
         dtype=jnp.bfloat16, packed=4)["value"]
+    out["packed_bf16_dots_remat_samples_per_sec"] = measure(
+        dtype=jnp.bfloat16, packed=4, remat="dots")["value"]
+    out["packed_bf16_stopgrad_samples_per_sec"] = measure(
+        dtype=jnp.bfloat16, packed=4, stop_gradient=True)["value"]
     out["stage1_frozen_samples_per_sec"] = measure(
         train_backbone=False)["value"]
     return out

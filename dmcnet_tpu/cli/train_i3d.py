@@ -106,7 +106,8 @@ def build_parser(dataset_default="HMDB51"):
                    help="dataset dir containing raw/list_cvt lists")
     p.add_argument('--video-prefix', type=str, required=False)
     p.add_argument('--flow-prefix', type=str, default=None)
-    p.add_argument('--remat', type=int, default=0,
+    p.add_argument('--remat', type=str, default="0",
+                   choices=["0", "1", "dots"],
                    help="rematerialize Mixed blocks (activation ckpt; the "
                         "reference imports checkpoint_sequential unused, "
                         "i3d.py:19)")
@@ -216,7 +217,8 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     net, input_conf = get_symbol(
         args.network, modality=args.modality, num_classes=num_classes,
         arch_estimator=args.arch_estimator, arch_d=args.arch_d,
-        dropout_prob=args.drop_out, remat=bool(args.remat),
+        dropout_prob=args.drop_out,
+        remat=("dots" if args.remat == "dots" else bool(int(args.remat))),
         dtype=jnp.bfloat16 if args.bf16 else None,
         packed_gen=args.packed_gen)
 
@@ -312,24 +314,51 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
 
     params, bstats = init_pretrained(args, params, bstats)
 
-    def fresh_state(params, bstats, stage2):
+    def fresh_state(params, bstats, stage2, grad_acc=None, opt_d_state=None):
+        # Stage-1 flow+mp4 freezes the base I3D regardless of --detach:
+        # adjust_learning_rate forces lr_mult 0.2/0.5 -> 0 while
+        # epoch+1 <= epoch_thre (model.py:273-277); only the new layers
+        # (conv3d_0c_1x1, classifier) follow lr1.  The frozen base group's
+        # torch Adam moments do move during stage 1, but the stage-2 swap
+        # discards that optimizer wholesale (model.py:347-351), so a static
+        # freeze here is faithful.
+        freeze_base = (args.modality == "flow+mp4" and args.epoch_thre > 0
+                       and not stage2)
         opts = make_i3d_optimizers(
             params, optim=args.optimizer,
             lr_mul=(0.2 if args.fine_tune or args.modality != "flow+mp4"
                     else 0.5),
-            has_gan=args.adv > 0, stage2=stage2)
+            has_gan=args.adv > 0, stage2=stage2, freeze_base=freeze_base)
+        if args.adv > 0 and grad_acc is None:
+            # torch .grad carry-over between D and G phases
+            # (engine.TrainState.grad_acc); preserved across the stage-2
+            # swap — zero_grad was per-optimizer, .grad lives on the param
+            grad_acc = jax.tree.map(jnp.zeros_like, params)
+        if args.adv > 0 and opt_d_state is None:
+            opt_d_state = opts["d"].init(params)
         state = TrainState(
             params=params, batch_stats=bstats,
             opt_cls=opts["cls"].init(params),
             opt_gf=opts["gf"].init(params),
-            opt_d=opts["d"].init(params) if args.adv > 0 else None)
+            # the stage-2 swap replaces ONLY optimizer/optimizer_mse
+            # (model.py:349-350); optimizer_3 keeps its Adam moments and
+            # step count, so the caller threads opt_d_state through
+            opt_d=opt_d_state if args.adv > 0 else None,
+            grad_acc=grad_acc)
         # Raw (unjitted) steps wrapped with explicit mesh shardings: batch
         # sharded on B (axis 1 of the stacked (iter_size, B, ...) layout),
         # state replicated; XLA inserts the gradient all-reduce over ICI.
         # Stage 1 with --detach runs the base optimizer at lr 0 and its
         # moments die at the stage switch, so those steps statically skip
-        # the backbone backward (engine_i3d.make_i3d_steps docstring).
+        # the backbone PARAMETER backward (engine_i3d.make_i3d_steps
+        # docstring).  Only valid when epoch_thre <= 1: at epoch 0 the G
+        # loss drops the cls term, so the base-grad carry into the first
+        # stage-2 D step is exactly zero; with epoch_thre > 1 the stage-1
+        # epochs >= 1 accumulate REAL base grads whose carry crosses the
+        # stage switch (torch .grad lives on the param, not the swapped
+        # optimizer), so those runs take the full backward.
         frozen_backbone = (not stage2 and bool(args.detach)
+                           and args.epoch_thre <= 1
                            and args.modality == "flow+mp4")
         d_step, g_step = make_i3d_steps(net, opts, adv=args.adv, jit=False,
                                         detach=bool(args.detach),
@@ -459,6 +488,16 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
     sched3 = MultiFactorScheduler(
         sched_steps, args.lr_d if args.lr_d else args.lr_base,
         args.lr_factor)
+    from dmcnet_tpu.train.lr_scheduler import I3DLRDriver
+    if args.modality == "flow+mp4":
+        lr_driver = I3DLRDriver(sched1, sched2, sched3,
+                                epoch_thre=args.epoch_thre,
+                                detach=bool(args.detach),
+                                has_gan=args.adv > 0)
+    else:
+        # no optimizer_mse: every microbatch adjusts from sched1, no stage
+        # split, no detach gating (model.py:456-458)
+        lr_driver = I3DLRDriver(sched1, sched1, None, epoch_thre=0)
 
     from dmcnet_tpu.utils.metrics_log import MetricsLogger
     mlog = MetricsLogger(getattr(args, "metrics_jsonl", None))
@@ -478,7 +517,8 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                 and not switched:
             print("stage 2: fresh optimizers (reference model.py:347-351)")
             state, d_step, g_step, fsdp_specs = fresh_state(
-                state.params, state.batch_stats, stage2=True)
+                state.params, state.batch_stats, stage2=True,
+                grad_acc=state.grad_acc, opt_d_state=state.opt_d)
             if fsdp_specs is not None:
                 eval_step = make_eval(fsdp_specs)
             switched = True
@@ -497,20 +537,16 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             t0 = time.time()
             batch = place_train(stack_micro(micros))
             rng, srng = jax.random.split(rng)
-            stage1 = epoch + 1 <= args.epoch_thre
-            # The reference advances its per-iteration schedulers once per
-            # microbatch (train/model.py:371-379); one macro step here
-            # consumes iter_size microbatches.
-            for _ in range(args.iter_size):
-                lr = (sched1 if stage1 else sched2).update()
-                if stage1:
-                    sched2.update()
-                lr_d = sched3.update()
-            lr1 = 0.0 if (args.detach and stage1) else lr
             use_d = args.adv > 0 and i_batch % 2 == 0
+            # Reference-exact scheduler advancement, including the
+            # stale-lr quirks (lr_scheduler.I3DLRDriver docstring); one
+            # macro step consumes iter_size microbatch advances
+            # (train/model.py:367-385,439-455).
+            lr, lr1, lr_d = lr_driver.macro_step(epoch, use_d,
+                                                 args.iter_size)
             fn = d_step if use_d else g_step
             state, metrics = fn(state, batch, srng, jnp.float32(lr),
-                                jnp.float32(lr1), jnp.float32(lr_d),
+                                jnp.float32(lr1), jnp.float32(lr_d or 0.0),
                                 jnp.float32(1e-4),
                                 jnp.asarray(epoch < 1))
             n = args.batch_size * args.iter_size

@@ -31,6 +31,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from dmcnet_tpu.models.discriminators import make_discriminator
 from dmcnet_tpu.models.generators import make_estimator
@@ -87,6 +88,11 @@ class Unit3D(nn.Module):
                         strides=tuple(self.stride), padding="SAME",
                         use_bias=self.use_bias, dtype=self.dtype,
                         name="conv3d")(x)
+        # named residual for remat='dots' (I3D docstring): under that
+        # policy the backward keeps ONLY conv outputs and recomputes the
+        # BN/ReLU tail, halving stashed-activation traffic per Unit3D.
+        # A no-op outside jax.checkpoint.
+        x = checkpoint_name(x, "conv_out")
         if self.use_bn:
             x = batch_norm(train, name="batch3d")(x)
         if self.activation == "relu":
@@ -165,9 +171,16 @@ class I3D(nn.Module):
     dropout_prob: float = 0.0
     arch_estimator: Optional[str] = None
     arch_d: Optional[str] = None
-    remat: bool = False  # rematerialize Mixed blocks (activation ckpt) —
-    # the TPU realization of the reference's imported-but-unused
-    # checkpoint_sequential (i3d.py:19); trades FLOPs for HBM on long clips.
+    remat: object = False  # Mixed-block rematerialization (activation
+    # checkpointing) — the TPU realization of the reference's
+    # imported-but-unused checkpoint_sequential (i3d.py:19):
+    #   True    save nothing, recompute everything (min HBM, max FLOPs);
+    #   'dots'  save ONLY conv outputs (checkpoint_name in Unit3D) and
+    #           recompute the elementwise BN/ReLU tails in the backward —
+    #           the bandwidth-targeted policy: the backward re-reads one
+    #           stashed tensor per Unit3D instead of two, trading cheap
+    #           VPU recompute for HBM traffic (PERF_NOTES.md §2: the step
+    #           is HBM-bound at ~73% of peak).
     dtype: Optional[jnp.dtype] = None  # bf16 = mixed-precision convs
     # (params/BN stats stay f32)
     packed_gen: int = 0  # space-to-depth factor for the dense estimators'
@@ -182,12 +195,14 @@ class I3D(nn.Module):
 
     def setup(self):
         if self.arch_estimator:
-            # remat covers the generator too: it runs per-frame at full
-            # resolution, so its stashed activations dominate HBM traffic.
+            # remat=True covers the generator too: it runs per-frame at
+            # full resolution, so its stashed activations dominate HBM
+            # traffic.  remat='dots' targets the BACKBONE's backward
+            # traffic only and leaves the generator unrematerialized.
             self.gen_flow_model = make_estimator(self.arch_estimator,
                                                  dtype=self.dtype,
                                                  packed=self.packed_gen,
-                                                 remat=self.remat)
+                                                 remat=self.remat is True)
         if self.arch_d:
             self.discriminator = make_discriminator(self.arch_d)
         self.conv3d_1a_7x7 = Unit3D(64, (7, 7, 7), (2, 2, 2),
@@ -197,8 +212,16 @@ class I3D(nn.Module):
                                     unroll_time=self.unroll_time)
         # setup-assigned submodules take their attribute names automatically.
         # With remat, activations inside each Mixed block are recomputed in
-        # the backward pass (param names unchanged).
-        mixed = nn.remat(Mixed, static_argnums=(2,)) if self.remat else Mixed
+        # the backward pass (param names unchanged; 'dots' keeps conv
+        # outputs as the only saved residuals).
+        if self.remat == "dots":
+            policy = jax.checkpoint_policies.save_only_these_names(
+                "conv_out")
+            mixed = nn.remat(Mixed, static_argnums=(2,), policy=policy)
+        elif self.remat:
+            mixed = nn.remat(Mixed, static_argnums=(2,))
+        else:
+            mixed = Mixed
         self.mixed_3b = mixed(_MIXED_PLAN["mixed_3b"], self.dtype,
                                self.unroll_time)
         self.mixed_3c = mixed(_MIXED_PLAN["mixed_3c"], self.dtype,

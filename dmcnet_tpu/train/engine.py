@@ -42,6 +42,15 @@ class TrainState(flax.struct.PyTreeNode):
     opt_cls: Any
     opt_gf: Any
     opt_d: Optional[Any] = None
+    # Persistent gradient accumulator = torch's param.grad buffers.  Only
+    # the I3D GAN trainer populates it: the reference's fit loop never
+    # zeroes the generator grads during the D phase (or base/discriminator
+    # grads during the G phase), so each optimizer steps with its own
+    # phase's gradients PLUS the other phase's carry-over
+    # (code/dmcnet_I3D/train/model.py:354-486: zero_grad is per-optimizer
+    # and only runs right after that optimizer's step).  None = no carry
+    # (dmcnet/GAN trainers, whose loops zero every optimizer each step).
+    grad_acc: Optional[Any] = None
     step: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.zeros((), jnp.int32))
 
 

@@ -17,6 +17,13 @@ Mirrors the reference MFNet-derived trainer
     trainer's G loss uses the same loss_adv it computed for D);
   * detach: lr of the base optimizer forced to 0 during stage 1
     (model.py:372-379);
+  * torch .grad carry-over (state.grad_acc != None): the reference zeroes
+    each optimizer's grads only right after ITS step, so the generator's
+    D-phase gradients pollute the next G step and the base/discriminator's
+    G-phase gradients pollute the next D step (model.py:401-404,483-485);
+    reproduced with a persistent per-param accumulator in the train state
+    (engine.TrainState.grad_acc; A/B'd against the real torch loop in
+    tests/test_train_torch_parity.py);
   * stage-2 switch at epoch_thre swaps to freshly initialized optimizers
     (model.py:347-351) — host code resets opt states and rebuilds the step
     with the stage-2 transforms.
@@ -35,18 +42,30 @@ from dmcnet_tpu.train.optimizers import GroupAdam, GroupSGD, lr_mult_tree
 
 
 def make_i3d_optimizers(params, optim="adam", lr_mul=0.2, has_gan=False,
-                        stage2=False):
+                        stage2=False, freeze_base=False):
     """Reference parameter grouping (train_model.py:69-106): generator,
     discriminator, new layers (conv3d_0c_1x1, classifier) at lr_mult 1,
     base I3D at lr_mult `lr_mul`.  No bias decay exemption (torch wd on
-    every param).  Returns {'cls', 'gf'[, 'd']}."""
+    every param).  Returns {'cls', 'gf'[, 'd']}.
+
+    `freeze_base` reproduces the reference adjust_learning_rate's stage-1
+    rule (model.py:273-277): during flow+mp4 stage 1 the base layers' lr is
+    forced to 0 REGARDLESS of --detach (only the new layers follow lr1).
+    `stage2` additionally promotes lr_mul 0.5 -> 1.0 (model.py:278-281) and
+    selects the stage-2 generator Adam eps=1e-3 (train_model.py:162-166)."""
     ones = jax.tree.map(lambda _: 1.0, params)
+    if freeze_base:
+        base_mult = 0.0
+    elif stage2 and lr_mul == 0.5:
+        base_mult = 1.0  # model.py:278-281: 0.5 means "1.0 after stage 1"
+    else:
+        base_mult = lr_mul
     cls_mults = {}
     for top in params:
         if top in ("gen_flow_model", "discriminator"):
             continue
         cls_mults[top] = 1.0 if top in ("conv3d_0c_1x1", "classifier") \
-            else lr_mul
+            else base_mult
     make = (lambda lm, eps=1e-8: GroupAdam(params, lm, ones, eps=eps)) \
         if optim == "adam" else (lambda lm, eps=None: GroupSGD(params, lm, ones))
     opts = {
@@ -63,18 +82,26 @@ def make_i3d_optimizers(params, optim="adam", lr_mul=0.2, has_gan=False,
 
 
 def _forward_gan(model, params, batch_stats, mv_res, flow, rng, with_adv,
-                 detach=False):
+                 stop_gradient=False):
     """One microbatch forward: logits, gen flow, adv loss pieces.
 
-    `detach` stop-gradients the generator output before the stem exactly
-    like the reference's `--detach 1` (i3d.py:573-576, threaded through
-    train/model.py:147) — the shipped train.sh recipe uses it.  Besides
-    fidelity, it removes the stem's input-gradient (a strided transposed
-    conv over the full 224^2 clip) from the backward pass, which measures
-    ~25% of the whole G step."""
+    By default the generator output is NOT stop-gradiented before the
+    stem: the reference's fit loop never forwards its `detach` flag into
+    the net (model.py:355,414 call self.forward without `detach`, whose
+    default False reaches i3d.py:573) — the network's stop-gradient branch
+    is dead code during training, and `--detach` only forces the base lr
+    to 0 in stage 1 (model.py:372-379).  Keeping the path live matters:
+    the classifier loss back-propagates through the (frozen) backbone INTO
+    the generator in both the D and G phases, which feeds the generator
+    update (directly in the G step, via the torch .grad carry from the D
+    step).
+
+    `stop_gradient=True` is an explicit NON-reference performance mode
+    (cuts the stem's input-gradient chain, ~25% of the G step at the
+    224^2 training shape) — the cls->generator coupling above is lost."""
     variables = {"params": params, "batch_stats": batch_stats}
     (logits, gen), mutated = model.apply(
-        variables, mv_res, "flow+logit", detach, True,
+        variables, mv_res, "flow+logit", stop_gradient, True,
         mutable=["batch_stats"], rngs={"dropout": rng})
     adv_logits = None
     if with_adv:
@@ -91,28 +118,36 @@ def _forward_gan(model, params, batch_stats, mv_res, flow, rng, with_adv,
 
 
 def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
-                   train_backbone=True):
+                   train_backbone=True, stop_gradient=False):
     """Returns (d_step, g_step).  Each:
     fn(state, batch, rng, lr, lr1, lr_d, wd, drop_cls) -> (state, metrics);
     `lr1` is the base-optimizer lr (0 when detached/frozen), `drop_cls`
     zeroes the cls term (epoch 0 G loss).  `detach` = the reference
-    `--detach` flag (stop-gradient before the stem, i3d.py:573-576).
+    `--detach` flag; it is lr-gating ONLY (model.py:372-379) — the
+    network's stop-gradient branch is never reached by the reference
+    trainer (see _forward_gan) — and is accepted here just to document the
+    caller's intent; it does not change the computation.
 
     `train_backbone=False` is the static stage-1-with-detach realization:
     the reference runs those epochs with the base optimizer's lr forced to 0
     (model.py:372-379), i.e. every backbone update is exactly zero and the
     base Adam moments it accumulates are discarded at the epoch_thre switch
     to freshly-initialized stage-2 optimizers (model.py:347-351).  Skipping
-    the backbone backward (differentiating only the generator/discriminator
-    sub-trees) therefore produces identical parameters with ~2x the step
-    speed; the caller rebuilds steps at the stage switch anyway."""
+    the backbone PARAMETER gradients (differentiating only the
+    generator/discriminator sub-trees — activation gradients still flow
+    THROUGH the backbone for the cls->generator path) therefore produces
+    identical parameters at lower step cost; the caller rebuilds steps at
+    the stage switch anyway.
+
+    `stop_gradient=True` opts into the non-reference fast mode (see
+    _forward_gan)."""
+    del detach  # documented no-op (reference model.py:355,414 vs :135)
     has_gan = "d" in opts
 
     def accumulate(state, batch, rng, loss_builder, live_keys=None):
-        """Scan microbatches: mean grads + final batch_stats + metrics.
+        """Scan microbatches: SUMMED grads + final batch_stats + metrics.
         `live_keys`: top-level param groups to differentiate (None = all);
         grads of the rest are zeros (dead — XLA removes them)."""
-        iter_size = batch["label"].shape[0]
 
         def micro(carry, xs):
             bs, rng = carry
@@ -142,16 +177,37 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
 
         (bs, _), (grads, auxes) = jax.lax.scan(
             micro, (state.batch_stats, rng), batch)
-        mean_grads = jax.tree.map(lambda g: g.mean(axis=0), grads)
+        sum_grads = jax.tree.map(lambda g: g.sum(axis=0), grads)
         metrics = {k: v.mean() for k, v in auxes.items()}
-        return mean_grads, bs, metrics
+        return sum_grads, bs, metrics
+
+    def carry_in(state, sums):
+        """torch .grad semantics: new backward sums ADD onto whatever the
+        last phase left unzeroed (model.py:365,436 — backward accumulates;
+        zero_grad is per-optimizer, right after its step)."""
+        if state.grad_acc is None:
+            return sums
+        return jax.tree.map(jnp.add, state.grad_acc, sums)
+
+    def carry_out(state, acc, keep_tops):
+        """zero_grad for every optimizer that just stepped: only the
+        `keep_tops` groups' (un-divided) sums survive into the next phase.
+        D step zeroes base+new (optimizer) and discriminator (optimizer_3),
+        leaving the generator's D-phase grads to pollute the next G step
+        (model.py:401-404); the G step zeroes only the generator
+        (optimizer_mse, model.py:483-485)."""
+        if state.grad_acc is None:
+            return None
+        return {k: (v if k in keep_tops
+                    else jax.tree.map(jnp.zeros_like, v))
+                for k, v in acc.items()}
 
     def d_step(state, batch, rng, lr, lr1, lr_d, wd, drop_cls):
         def loss_builder(params, bstats, xs, mb):
             mv_res = jnp.concatenate([xs["mv"], xs["residual"]], axis=-1)
             logits, gen, adv_logits, bs = _forward_gan(
                 model, params, bstats, mv_res, xs["flow"], mb, True,
-                detach=detach)
+                stop_gradient=stop_gradient)
             loss_cls = cross_entropy(logits, xs["label"])
             n = adv_logits.shape[0] // 2
             adv_labels = jnp.concatenate(
@@ -164,19 +220,29 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
                           "loss_cls": loss_cls, "loss_adv": loss_adv,
                           "top1": top1, "top5": top5, "acc_D_adv": acc_d}
 
+        iter_size = batch["label"].shape[0]
         if train_backbone:
-            grads, bstats, metrics = accumulate(state, batch, rng,
-                                                loss_builder)
-            params, opt_cls = opts["cls"].update(
-                grads, state.opt_cls, state.params, lr1, wd)
+            live = None
         else:
-            grads, bstats, metrics = accumulate(
-                state, batch, rng, loss_builder,
-                live_keys=("discriminator",))
+            # frozen backbone still needs the generator's adv-path grads
+            # when the torch carry is on: they survive this step's zero_grad
+            # and feed the next G step (model.py:401-404)
+            live = (("discriminator", "gen_flow_model")
+                    if state.grad_acc is not None else ("discriminator",))
+        sums, bstats, metrics = accumulate(state, batch, rng, loss_builder,
+                                           live_keys=live)
+        acc = carry_in(state, sums)
+        upd = jax.tree.map(lambda g: g / iter_size, acc)
+        if train_backbone:
+            params, opt_cls = opts["cls"].update(
+                upd, state.opt_cls, state.params, lr1, wd)
+        else:
             params, opt_cls = state.params, state.opt_cls
-        params, opt_d = opts["d"].update(grads, state.opt_d, params, lr_d, wd)
+        params, opt_d = opts["d"].update(upd, state.opt_d, params, lr_d, wd)
         return state.replace(params=params, batch_stats=bstats,
                              opt_cls=opt_cls, opt_d=opt_d,
+                             grad_acc=carry_out(state, acc,
+                                                ("gen_flow_model",)),
                              step=state.step + 1), metrics
 
     def g_step(state, batch, rng, lr, lr1, lr_d, wd, drop_cls):
@@ -184,7 +250,7 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
             mv_res = jnp.concatenate([xs["mv"], xs["residual"]], axis=-1)
             logits, gen, adv_logits, bs = _forward_gan(
                 model, params, bstats, mv_res, xs["flow"], mb, has_gan,
-                detach=detach)
+                stop_gradient=stop_gradient)
             loss_cls = cross_entropy(logits, xs["label"])
             loss_mse = jnp.mean((gen - xs["flow"]) ** 2)
             cls_w = jnp.where(drop_cls, 0.0, 1.0) if has_gan else 1.0
@@ -204,17 +270,29 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
 
         # G phase only steps the generator optimizer; gradients still flow
         # THROUGH the (constant) discriminator for the adv term.
-        live = None if train_backbone else ("gen_flow_model",)
-        grads, bstats, metrics = accumulate(state, batch, rng, loss_builder,
-                                            live_keys=live)
+        iter_size = batch["label"].shape[0]
+        if train_backbone:
+            live = None
+        else:
+            # with the torch carry on, the adv term's discriminator grads
+            # survive this step's zero_grad and feed the next D step
+            live = (("gen_flow_model", "discriminator")
+                    if state.grad_acc is not None else ("gen_flow_model",))
+        sums, bstats, metrics = accumulate(state, batch, rng, loss_builder,
+                                           live_keys=live)
+        acc = carry_in(state, sums)
+        upd = jax.tree.map(lambda g: g / iter_size, acc)
         new = {"batch_stats": bstats, "step": state.step + 1}
         params = state.params
         if not has_gan and train_backbone:
             params, new["opt_cls"] = opts["cls"].update(
-                grads, state.opt_cls, params, lr1, wd)
+                upd, state.opt_cls, params, lr1, wd)
         params, new["opt_gf"] = opts["gf"].update(
-            grads, state.opt_gf, params, lr, wd)
+            upd, state.opt_gf, params, lr, wd)
         new["params"] = params
+        if state.grad_acc is not None:
+            new["grad_acc"] = carry_out(
+                state, acc, tuple(k for k in acc if k != "gen_flow_model"))
         return state.replace(**new), metrics
 
     if jit:

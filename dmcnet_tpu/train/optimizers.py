@@ -135,8 +135,16 @@ class GroupAdam:
         """Returns (new_params, new_opt_state); lr/wd are traced scalars."""
         b1, b2, eps = self.b1, self.b2, self.eps
         count = opt_state["count"] + 1
-        c1 = 1.0 - b1 ** count.astype(jnp.float32)
-        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        # Bias corrections 1 - b^count via expm1: the naive f32 form
+        # catastrophically cancels for b2=0.999 at small counts (rel err
+        # 1.3e-5 at count=1), a real drift vs torch, which computes these
+        # in python-float f64 (test ab_train_worker.py pinned it at
+        # ~6e-9/step on the params).  expm1 is cancellation-free at any
+        # precision; under x64 this matches torch exactly.
+        ftype = jnp.result_type(float)
+        count_f = count.astype(ftype)
+        c1 = -jnp.expm1(count_f * jnp.log(jnp.asarray(b1, ftype)))
+        c2 = -jnp.expm1(count_f * jnp.log(jnp.asarray(b2, ftype)))
 
         def leaf(g, p, dm, lm, mu, nu):
             if lm == 0.0:  # static: unowned leaf, untouched

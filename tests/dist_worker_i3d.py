@@ -65,14 +65,15 @@ def make_state_and_steps(jit_mesh=None):
                        batch_stats=variables["batch_stats"],
                        opt_cls=opts["cls"].init(variables["params"]),
                        opt_gf=opts["gf"].init(variables["params"]))
-    # Stage-1 --detach configuration (the shipped train.sh recipe): the
-    # generator gradient comes only from the well-conditioned MSE path.
-    # Without detach, the CE gradient backpropagates through 22 train-mode
-    # BN layers at random init (near-zero batch-variance channels), where
-    # different reduction orders legitimately shift generator grads by
-    # O(1) — no tolerance would be meaningful.
-    _, g_step = make_i3d_steps(net, opts, adv=0.0, jit=False, detach=True,
-                               train_backbone=False)
+    # stop_gradient (NOT reference training semantics — a numerical
+    # isolation device for this cross-process comparison): the generator
+    # gradient comes only from the well-conditioned MSE path.  With the
+    # CE gradient backpropagating through 22 train-mode BN layers at
+    # random init (near-zero batch-variance channels), different
+    # reduction orders legitimately shift generator grads by O(1) — no
+    # tolerance would be meaningful.
+    _, g_step = make_i3d_steps(net, opts, adv=0.0, jit=False,
+                               stop_gradient=True, train_backbone=False)
     ev = make_i3d_eval_step(net, jit=False)
     return state, g_step, ev
 

@@ -92,11 +92,13 @@ def test_i3d_train_steps_wiring():
         assert jax.tree.structure(new_state) == jax.tree.structure(state)
 
 
-def test_i3d_detach_gates_cls_gradient_to_generator():
-    """`detach=True` (reference --detach 1, i3d.py:573-576): the generator
-    update must not depend on the classification labels — its gradient comes
-    from the MSE (and adv) terms only.  Without detach the CE term reaches
-    the generator through the stem and the updates differ."""
+def test_i3d_stop_gradient_gates_cls_gradient_to_generator():
+    """`stop_gradient=True` (the NON-reference fast mode; the reference's
+    net-level detach branch i3d.py:573-576 is dead during training — fit
+    never forwards the flag, model.py:355,414): the generator update must
+    not depend on the classification labels — its gradient comes from the
+    MSE (and adv) terms only.  Without it (reference semantics) the CE
+    term reaches the generator through the stem and the updates differ."""
     t, hw = 4, 32
     net = I3D(num_classes=3, modality="flow+mp4",
               arch_estimator="DenseNetTiny")
@@ -117,9 +119,9 @@ def test_i3d_detach_gates_cls_gradient_to_generator():
     args = (jax.random.key(1), jnp.float32(1e-2), jnp.float32(0.0),
             jnp.float32(0.0), jnp.float32(0.0), jnp.asarray(False))
 
-    def gen_after(detach, label):
+    def gen_after(stop_grad, label):
         _, g_step = make_i3d_steps(net, opts, adv=0.0, jit=False,
-                                   detach=detach)
+                                   stop_gradient=stop_grad)
         batch = dict(base, label=jnp.asarray([[label]], jnp.int32))
         new_state, _ = g_step(state, batch, *args)
         return jax.tree.leaves(new_state.params["gen_flow_model"])
@@ -235,3 +237,41 @@ def test_unroll_time_matches_conv3d():
     o1 = plain.apply(v, x, "logit", False, False)
     o2 = unrolled.apply(v, x, "logit", False, False)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-5)
+
+
+def test_i3d_dots_remat_matches_plain():
+    """remat='dots' (save-conv-outs backward policy) changes only WHAT the
+    backward stashes, never the math: loss and gradients must match the
+    unrematerialized model bit-for-bit structure-wise and numerically."""
+    t, hw = 4, 32
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, t, hw, hw, 5)), jnp.float32)
+    label = jnp.asarray([0, 2], jnp.int32)
+
+    def loss_with(remat):
+        net = I3D(num_classes=3, modality="flow+mp4",
+                  arch_estimator="DenseNetTiny", remat=remat)
+        variables = net.init(jax.random.key(0), x, "flow+logit", False,
+                             False)
+
+        def loss_fn(params):
+            (logits, gen), _ = net.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                x, "flow+logit", False, True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(1)})
+            return (jnp.mean(optax_ce(logits, label))
+                    + jnp.mean(gen ** 2))
+
+        import optax
+
+        def optax_ce(lg, lb):
+            return optax.softmax_cross_entropy_with_integer_labels(lg, lb)
+
+        return jax.value_and_grad(loss_fn)(variables["params"])
+
+    l0, g0 = loss_with(False)
+    l1, g1 = loss_with("dots")
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
