@@ -115,3 +115,33 @@ def test_top_level_dispatcher(capsys):
             assert seen.get("dataset_default") == want
         finally:
             mod._i3d_main = orig
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference artifacts absent")
+def test_parity_harness_scores_mode(tmp_path):
+    """examples/parity/run.sh (SCORES mode) asserts the exact shipped
+    fusion numbers (62.03% / 64.05%, BASELINE.md) through the CLI chain."""
+    import subprocess
+    env = dict(os.environ, SCORES=REF, OUT=str(tmp_path))
+    proc = subprocess.run([os.path.join(REPO, "examples/parity/run.sh")],
+                          env=env, capture_output=True, text=True,
+                          timeout=300)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PARITY OK [CoViAR 3-mod split1]" in proc.stdout
+    assert "PARITY OK [4-mod + DMC split1]" in proc.stdout
+
+
+def test_parity_harness_skips_cleanly(tmp_path):
+    """With neither $SCORES nor the full-mode inputs, the harness must
+    SKIP (exit 0) — CI-safe on machines without data/checkpoints."""
+    import subprocess
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("SCORES", "DATA_ROOT", "TEST_LIST", "CKPTS")}
+    env["OUT"] = str(tmp_path)
+    proc = subprocess.run([os.path.join(REPO, "examples/parity/run.sh")],
+                          env=env, capture_output=True, text=True,
+                          timeout=60)
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "SKIP" in proc.stdout
