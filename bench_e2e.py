@@ -105,6 +105,27 @@ def measure(n_videos=4, t=48, h=256, w=320):
         out["value"] = max(out["value"], round(clips / dt_batched, 1))
         out["batched_device_clips_per_sec"] = round(clips / dt_batched, 1)
         out["wall_ms_per_gop_batched"] = round(dt_batched * 1e3 / gops, 2)
+
+    # Reference 25-segment TSN protocol (--segments 25, test.py:48) on a
+    # LONG video: only the GOPs owning a pick are entropy-decoded, an
+    # ~num_gops/25 host-work cut vs scoring every GOP.
+    t_long = 600  # 50 GOPs
+    p_long = os.path.join(tmp, "long.avi")
+    enc = _textured_frames(rng, t_long, h, w, shift=(1, 1))
+    from dmcnet_tpu.codec.mpeg4 import encode_mpeg4 as _enc
+    _enc(p_long, enc, gop_size=12, bit_rate=2_000_000)
+    backend = "device" if dt_dev is not None else "host"
+    pred.predict_video(p_long, backend=backend, segments=25)  # warm
+    t0 = time.perf_counter()
+    s_seg = pred.predict_video(p_long, backend=backend, segments=25)
+    dt_seg = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s_full = pred.predict_video(p_long, backend=backend)
+    dt_full = time.perf_counter() - t0
+    assert np.isfinite(s_seg).all() and np.isfinite(s_full).all()
+    out["long_video_full_scan_ms"] = round(dt_full * 1e3, 1)
+    out["long_video_segments25_ms"] = round(dt_seg * 1e3, 1)
+    out["segments25_speedup_50gop_video"] = round(dt_full / dt_seg, 2)
     return out
 
 

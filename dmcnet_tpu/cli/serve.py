@@ -51,6 +51,13 @@ def build_parser():
     parser.add_argument('--gen_flow_or_delta', type=int, default=1)
     parser.add_argument('--mv_minmaxnorm', type=int, default=1)
     parser.add_argument('--input_size', type=int, default=224)
+    parser.add_argument('--segments', type=int, default=0,
+                        help='score by the reference TSN test protocol: N '
+                             'segment-centre frames per video (reference '
+                             'test.py --test-segments 25) instead of '
+                             '--frames-per-gop frames from EVERY GOP — '
+                             'decodes ~num_gops/N fewer GOPs on long '
+                             'videos')
     parser.add_argument('--frames-per-gop', type=int, default=3,
                         help='P-frames sampled per GOP (TSN-style '
                              'score averaging)')
@@ -125,7 +132,8 @@ def serve_stdin(predictor, args, inp=None, out=None):
             scores = predictor.predict_videos(
                 [req["path"]], frames_per_gop=args.frames_per_gop,
                 backend=args.backend, chunk_gops=args.chunk_gops,
-                host_workers=args.host_workers, on_error=args.on_error)
+                host_workers=args.host_workers, on_error=args.on_error,
+                segments=args.segments or None)
             s = np.asarray(scores[0])
             result = {"id": req["id"], "path": req["path"],
                       "pred": int(s.argmax()), "score": float(s.max()),
@@ -211,7 +219,8 @@ def main(argv=None):
                                       backend=args.backend,
                                       chunk_gops=args.chunk_gops,
                                       host_workers=args.host_workers,
-                                      on_error=args.on_error)
+                                      on_error=args.on_error,
+                                      segments=args.segments or None)
     dt = time.time() - t0
     print(f"scored {len(paths)} videos in {dt:.2f}s "
           f"({len(paths) / dt:.2f} videos/sec)")

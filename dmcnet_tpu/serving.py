@@ -353,8 +353,45 @@ class DMCPredictor:
             out = np.pad(out, pad)
         return out
 
-    def predict_video(self, path, frames_per_gop=3, backend="auto"):
-        """Average logits over `frames_per_gop` sampled P-frames per GOP.
+    def _segment_picks(self, reader, segments):
+        """Reference TSN test protocol: `segments` segment-centre P-frames
+        over the whole video (code/dmcnet/test.py:48 with --test-segments
+        25; centre formula dataset.py:139-149) -> {gop_index: (positions,
+        weights)}.  Sampling the protocol's ~25 frames instead of every
+        P-frame of every GOP cuts the host entropy-decode work by
+        ~num_gops/25 on long videos.  Duplicate picks (short videos) are
+        deduped per GOP and carried as integer weights so the score is the
+        exact protocol average.  Frame->GOP mapping uses the stream's
+        ACTUAL GOP boundaries (== the reference's fixed --gop 12 on the
+        MPEG-4 re-encodes it supports; still correct on irregular
+        streams)."""
+        lens = [reader.gop_len(g) for g in range(reader.num_gops)]
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        # P-frame count (frame 0 of each stream is the first I-frame;
+        # the protocol excludes index 0, dataset.py:46-60)
+        n = reader.num_frames - 1
+        by_gop = {}
+        for seg in range(segments):
+            idx = int(np.round((n - 1) / segments * (seg + 0.5))) + 1
+            g = int(np.searchsorted(starts, idx, side="right")) - 1
+            g = min(g, reader.num_gops - 1)
+            pos = idx - int(starts[g])
+            if pos == 0:  # I-frame position: previous GOP's last P-frame
+                g = max(g - 1, 0)
+                pos = lens[g] - 1
+            pos = min(max(pos, 1), lens[g] - 1) if lens[g] > 1 else 0
+            by_gop.setdefault(g, {}).setdefault(pos, [0])[0] += 1
+        return {g: (np.asarray(sorted(d), np.int32),
+                    np.asarray([d[p][0] for p in sorted(d)], np.float32))
+                for g, d in by_gop.items()}
+
+    def predict_video(self, path, frames_per_gop=3, backend="auto",
+                      segments=None):
+        """Average logits over sampled P-frames: `frames_per_gop` evenly
+        spaced per GOP (every GOP decoded), or — with `segments=N` — the
+        reference TSN test protocol's N segment-centre frames over the
+        whole video (only the GOPs that own a pick are decoded; see
+        `_segment_picks`).
 
         All sampled frames of the video go to the device as ONE batch — one
         dispatch per video instead of one per GOP, which matters when the
@@ -368,7 +405,8 @@ class DMCPredictor:
         """
         if backend in ("auto", "device"):
             try:
-                out = self._predict_video_device(path, frames_per_gop)
+                out = self._predict_video_device(path, frames_per_gop,
+                                                 segments=segments)
             except Exception:
                 # e.g. no Mosaic lowering on this backend (CPU without
                 # interpret mode): "auto" degrades to the host path
@@ -381,24 +419,34 @@ class DMCPredictor:
                 raise ValueError(
                     f"{path}: stream does not qualify for the device "
                     "back-trace path")
-        mvs, ress = [], []
+        mvs, ress, wts = [], [], []
         with VideoReader(path) as reader:
-            for g in range(reader.num_gops):
+            by_gop = (self._segment_picks(reader, segments)
+                      if segments else None)
+            gops = sorted(by_gop) if segments else range(reader.num_gops)
+            for g in gops:
                 frames, mv_maps = reader.decode_gop(g)
                 if len(frames) < 2:
                     continue
                 mv, res = gop_mv_residual_u8(
                     mv_maps, frames, True,
                     20 if self.mv_minmaxnorm else None)
-                pick = np.linspace(1, len(frames) - 1,
-                                   min(frames_per_gop, len(frames) - 1))
-                pick = np.unique(np.round(pick).astype(int))
+                if segments:
+                    pick, w = by_gop[g]
+                    pick = np.minimum(pick, len(frames) - 1)
+                else:
+                    pick = np.linspace(1, len(frames) - 1,
+                                       min(frames_per_gop, len(frames) - 1))
+                    pick = np.unique(np.round(pick).astype(int))
+                    w = np.ones(len(pick), np.float32)
                 mvs.append(self._center_crop(mv[pick]))
                 ress.append(self._center_crop(res[pick]))
+                wts.append(w)
         if not mvs:
             raise ValueError(f"no usable GOPs in {path}")
         mv = np.concatenate(mvs)
         res = np.concatenate(ress)
+        wts = np.concatenate(wts)
         n = len(mv)
         # bucket to multiples of 16 clips so videos of similar length share
         # one compiled executable (padded rows dropped host-side); with a
@@ -410,15 +458,19 @@ class DMCPredictor:
             mv = np.repeat(mv, reps, axis=0)
             res = np.repeat(res, reps, axis=0)
         logits = self._classify(jnp.asarray(mv), jnp.asarray(res))
-        return np.asarray(logits)[:n].mean(axis=0)
+        lg = np.asarray(logits)[:n]
+        return (lg * wts[:, None]).sum(axis=0) / wts.sum()
 
-    def _gather_video_device(self, path, frames_per_gop):
+    def _gather_video_device(self, path, frames_per_gop, segments=None):
         """Host side of the device-backtrace path for one video: entropy
         decode + block-list -> cell-grid conversion.  Returns
-        (cms, gop_data, picks, counts, h, w) — gop_data rows are
-        (iframe (H, W, 3), cropped picked frames (P, size, size, 3),
-        gop_len) — or None when any GOP disqualifies (caller falls back
-        to the host-accumulate path).
+        (cms, gop_data, picks, counts, weights, h, w) — gop_data rows are
+        (iframe (H, W, 3), cropped picked frames (count, size, size, 3),
+        gop_len), picks rows UNPADDED (the caller pads to its batch-wide
+        row width) — or None when any GOP disqualifies (caller falls back
+        to the host-accumulate path).  `segments=N` switches to the
+        reference 25-segment protocol (`_segment_picks`): only the GOPs
+        owning a pick are decoded, and duplicate picks ride as weights.
 
         Only the I-frame and the cropped picked frames are RETAINED: a
         whole-split batch would otherwise hold every decoded frame of
@@ -426,10 +478,13 @@ class DMCPredictor:
         processed."""
         from dmcnet_tpu.ops.pallas_backtrace import cell_mv_from_blocks
 
-        cms, gop_data, picks, counts = [], [], [], []
+        cms, gop_data, picks, counts, weights = [], [], [], [], []
         with VideoReader(path) as reader:
             h, w = reader.height, reader.width
-            for gidx in range(reader.num_gops):
+            by_gop = (self._segment_picks(reader, segments)
+                      if segments else None)
+            gops = sorted(by_gop) if segments else range(reader.num_gops)
+            for gidx in gops:
                 frames, _, blocks, n_blocks = reader.decode_gop_blocks(
                     gidx, skip_dense=True)
                 if len(frames) < 2:
@@ -437,21 +492,32 @@ class DMCPredictor:
                 cm, cell = cell_mv_from_blocks(blocks, n_blocks, h, w)
                 if cm is None:
                     return None
-                pick = np.linspace(1, len(frames) - 1,
-                                   min(frames_per_gop, len(frames) - 1))
-                pick = np.unique(np.round(pick).astype(np.int32))
+                if segments:
+                    pick, wt = by_gop[gidx]
+                    pick = np.minimum(pick, len(frames) - 1)
+                else:
+                    pick = np.linspace(1, len(frames) - 1,
+                                       min(frames_per_gop, len(frames) - 1))
+                    pick = np.unique(np.round(pick).astype(np.int32))
+                    wt = np.ones(len(pick), np.float32)
                 counts.append(len(pick))
-                pick = np.pad(pick, (0, frames_per_gop - len(pick)),
-                              mode="edge")
+                weights.append(wt)
                 picks.append(pick)
                 cms.append((cm, cell))
                 gop_data.append((frames[0], self._center_crop(frames[pick]),
                                  frames.shape[0]))
         if not cms:
             return None
-        return cms, gop_data, picks, counts, h, w
+        return cms, gop_data, picks, counts, weights, h, w
 
-    def _predict_video_device(self, path, frames_per_gop=3):
+    @staticmethod
+    def _pad_picks(picks, n_pick):
+        """Pad unpadded pick rows to the batch row width (edge mode: the
+        padded slots re-decode a real frame; they are masked out by
+        `counts` on the host)."""
+        return [np.pad(p, (0, n_pick - len(p)), mode="edge") for p in picks]
+
+    def _predict_video_device(self, path, frames_per_gop=3, segments=None):
         """Device-backtrace inference from MV block lists; returns None
         when any GOP disqualifies (caller falls back to the host path).
 
@@ -461,10 +527,11 @@ class DMCPredictor:
         the u8 encode all move into the jitted GOP program.  GOP count is
         padded to a multiple of 4 and frame counts to the batch max so
         videos share a small set of compiled programs."""
-        gathered = self._gather_video_device(path, frames_per_gop)
+        gathered = self._gather_video_device(path, frames_per_gop,
+                                             segments=segments)
         if gathered is None:
             return None
-        cms, gop_data, picks, counts, h, w = gathered
+        cms, gop_data, picks, counts, weights, h, w = gathered
         # Unify cell sizes: a 16-cell grid expands exactly to 8 (uniform).
         cell = min(c for _, c in cms)
         cms = [np.repeat(np.repeat(cm, c // cell, axis=1), c // cell, axis=2)
@@ -474,12 +541,14 @@ class DMCPredictor:
         if tmax > 255:
             return None  # picks ride as uint8 in the combined buffer
         g_pad = -(-g_real // self._gop_quant) * self._gop_quant
+        n_pick = max(frames_per_gop, max(counts))
+        picks = self._pad_picks(picks, n_pick)
         ncy, ncx = h // cell, w // cell
         size = self.input_size
         cm_b = np.zeros((g_pad, tmax, ncy, ncx, 2), np.int32)
         if_b = np.zeros((g_pad, h, w, 3), np.uint8)
-        fp_b = np.zeros((g_pad, frames_per_gop, size, size, 3), np.uint8)
-        pk_b = np.ones((g_pad, frames_per_gop), np.uint8)
+        fp_b = np.zeros((g_pad, n_pick, size, size, 3), np.uint8)
+        pk_b = np.ones((g_pad, n_pick), np.uint8)
         for i, (cm, (iframe, fp, _), pk) in enumerate(
                 zip(cms, gop_data, picks)):
             cm_b[i, :cm.shape[0]] = cm
@@ -487,29 +556,42 @@ class DMCPredictor:
             # Only the I-frame and the picked frames go to the device
             # (pre-cropped): 3-4x fewer H2D bytes than shipping every
             # decoded frame of the GOP.
-            fp_b[i] = fp
+            fp_b[i, :fp.shape[0]] = fp
             pk_b[i] = pk
-        fn = self._gop_program(g_pad, tmax, h, w, cell, frames_per_gop)
+        fn = self._gop_program(g_pad, tmax, h, w, cell, n_pick)
         buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
         logits, _, _ = fn(jnp.asarray(buf))
-        logits = np.asarray(logits).reshape(g_pad, frames_per_gop, -1)
-        rows = [logits[i, :k] for i, k in enumerate(counts)]
-        return np.concatenate(rows).mean(axis=0)
+        logits = np.asarray(logits).reshape(g_pad, n_pick, -1)
+        rows = np.concatenate([logits[i, :k] for i, k in enumerate(counts)])
+        wts = np.concatenate(weights)
+        return (rows * wts[:, None]).sum(axis=0) / wts.sum()
 
     def predict_videos(self, paths, frames_per_gop=3, backend="auto",
-                       chunk_gops=64, host_workers=0, on_error="raise"):
+                       chunk_gops=64, host_workers=0, on_error="raise",
+                       segments=None):
         """Batched whole-video inference: GOPs of MANY videos share device
         calls, in fixed `chunk_gops`-GOP chunks (one compiled program per
-        (h, w) geometry).  Behind an RPC device boundary each call pays a
-        fixed dispatch+fetch latency, so per-video calls leave the device
-        idle between videos; chunking amortizes it and lets the device
-        queue pipeline chunk i+1's transfer under chunk i's compute.
+        (geometry, cell, t-bucket) key).  Behind an RPC device boundary
+        each call pays a fixed dispatch+fetch latency, so per-video calls
+        leave the device idle between videos; chunking amortizes it.
+
+        The dispatch is STREAMED: each chunk is packed and dispatched as
+        soon as enough gathered GOPs accumulate, while later videos are
+        still being host-gathered — the device scores chunk k under the
+        host's entropy decode of videos k+1.., and jax's async dispatch
+        additionally overlaps chunk k+1's packing with chunk k's compute.
+        Logits are fetched only after every chunk is in flight.
 
         `host_workers` > 1 threads the per-video host gather (entropy
         decode + block-list -> cell-grid): the native decode runs outside
         the GIL (codec/native), so this scales with host cores.  Results
-        are deterministic — gather order does not affect scores (each
-        video's GOPs stay contiguous in submission order).
+        are deterministic — videos are consumed in submission order
+        regardless of which worker finishes first.
+
+        `segments=N` scores by the reference TSN test protocol (N
+        segment-centre frames per video, `_segment_picks`) instead of
+        `frames_per_gop` frames from EVERY GOP — on long videos an
+        ~num_gops/N reduction in host decode work.
 
         `on_error="zero"` keeps a batch alive through unreadable/corrupt
         videos: their score is a zero vector (argmax 0, harmless in late
@@ -520,8 +602,12 @@ class DMCPredictor:
         Returns a list of score vectors aligned with `paths`.  Videos that
         disqualify from the device path (see predict_video) fall back to
         the host-accumulate path individually."""
+        size = self.input_size
         results = {}
-        pending = []
+        per_video = {}   # path -> [(logit rows, weight rows), ...]
+        pending = {}     # (h, w) -> buffered flat GOP rows
+        in_flight = []   # (logits ref, chunk rows, n_pick)
+        chunk_gops = -(-chunk_gops // self._gop_quant) * self._gop_quant
 
         def zero_score(p, exc):
             import sys
@@ -538,18 +624,40 @@ class DMCPredictor:
             if backend not in ("auto", "device"):
                 return None, None
             try:
-                return self._gather_video_device(p, frames_per_gop), None
+                return self._gather_video_device(p, frames_per_gop,
+                                                 segments=segments), None
             except Exception as exc:
                 return None, exc
 
-        if host_workers > 1:
-            from concurrent.futures import ThreadPoolExecutor
+        def dispatch(hw, chunk):
+            """Pack one chunk and enqueue it on the device (async).  The
+            program key quantizes tmax up (multiples of 12) and takes the
+            chunk-wide min cell / max pick count, so chunks of similar
+            streams share executables (warmup precompiles t=12)."""
+            h, w = hw
+            cell = min(c for *_, c, _ in chunk)
+            tmax = max(12, -(-max(t for *_, t in chunk) // 12) * 12)
+            n_pick = max(frames_per_gop,
+                         max(len(pk) for *_, pk, _, _, _ in chunk))
+            ncy, ncx = h // cell, w // cell
+            cm_b = np.zeros((chunk_gops, tmax, ncy, ncx, 2), np.int32)
+            if_b = np.zeros((chunk_gops, h, w, 3), np.uint8)
+            fp_b = np.zeros((chunk_gops, n_pick, size, size, 3), np.uint8)
+            pk_b = np.ones((chunk_gops, n_pick), np.uint8)
+            for i, (_, cm, iframe, fp, pick, _, c, _) in enumerate(chunk):
+                cm = np.repeat(np.repeat(cm, c // cell, axis=1),
+                               c // cell, axis=2)
+                cm_b[i, :cm.shape[0]] = cm
+                if_b[i] = iframe
+                fp_b[i, :fp.shape[0]] = fp
+                pk_b[i, :len(pick)] = pick
+                pk_b[i, len(pick):] = pick[-1]
+            fn = self._gop_program(chunk_gops, tmax, h, w, cell, n_pick)
+            buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
+            logits, _, _ = fn(jnp.asarray(buf))
+            in_flight.append((logits, chunk, n_pick))
 
-            with ThreadPoolExecutor(max_workers=host_workers) as pool:
-                gathered_all = list(pool.map(gather_one, paths))
-        else:
-            gathered_all = map(gather_one, paths)
-        for p, (gathered, gather_exc) in zip(paths, gathered_all):
+        def consume(p, gathered, gather_exc):
             tmax_v = (max(t for _, _, t in gathered[1])
                       if gathered else 0)
             if gathered is None or tmax_v > 255:
@@ -562,10 +670,11 @@ class DMCPredictor:
                     if on_error != "zero":
                         raise exc
                     zero_score(p, exc)
-                    continue
+                    return
                 try:
                     results[p] = self.predict_video(p, frames_per_gop,
-                                                    backend="host")
+                                                    backend="host",
+                                                    segments=segments)
                 except Exception as exc:
                     # zero-fill covers DATA errors (the reference's
                     # stance); device/infra failures (tunnel drop, OOM)
@@ -576,49 +685,38 @@ class DMCPredictor:
                     if on_error != "zero" or infra:
                         raise
                     zero_score(p, exc)
-            else:
-                pending.append((p, gathered))
+                return
+            cms, gd, pk, cn, wt, h, w = gathered
+            per_video[p] = []
+            buf = pending.setdefault((h, w), [])
+            for (cm, c), (iframe, fp, t), pick, count, w_ in zip(
+                    cms, gd, pk, cn, wt):
+                buf.append((p, cm, iframe, fp, pick, w_, c, t))
+            while len(buf) >= chunk_gops:
+                dispatch((h, w), buf[:chunk_gops])
+                del buf[:chunk_gops]
 
-        size = self.input_size
-        groups = {}
-        for p, (cms, gd, pk, cn, h, w) in pending:
-            groups.setdefault((h, w), []).append((p, cms, gd, pk, cn))
-        chunk_gops = -(-chunk_gops // self._gop_quant) * self._gop_quant
-        for (h, w), vids in groups.items():
-            cell = min(c for _, cms, _, _, _ in vids for _, c in cms)
-            tmax = max(t for _, _, gd, _, _ in vids for _, _, t in gd)
-            ncy, ncx = h // cell, w // cell
-            flat = []  # (owner_path, cell_mv, iframe, picked, pick, count)
-            for p, cms, gd, pk, cn in vids:
-                for (cm, c), (iframe, fp, _), pick, count in zip(cms, gd,
-                                                                 pk, cn):
-                    cm = np.repeat(np.repeat(cm, c // cell, axis=1),
-                                   c // cell, axis=2)
-                    flat.append((p, cm, iframe, fp, pick, count))
-            fn = self._gop_program(chunk_gops, tmax, h, w, cell,
-                                   frames_per_gop)
-            in_flight = []  # (logits ref, chunk rows)
-            per_video = {p: [] for p, *_ in vids}
-            for c0 in range(0, len(flat), chunk_gops):
-                chunk = flat[c0:c0 + chunk_gops]
-                cm_b = np.zeros((chunk_gops, tmax, ncy, ncx, 2), np.int32)
-                if_b = np.zeros((chunk_gops, h, w, 3), np.uint8)
-                fp_b = np.zeros((chunk_gops, frames_per_gop, size, size, 3),
-                                np.uint8)
-                pk_b = np.ones((chunk_gops, frames_per_gop), np.uint8)
-                for i, (_, cm, iframe, fp, pick, _) in enumerate(chunk):
-                    cm_b[i, :cm.shape[0]] = cm
-                    if_b[i] = iframe
-                    fp_b[i] = fp
-                    pk_b[i] = pick
-                buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
-                logits, _, _ = fn(jnp.asarray(buf))
-                in_flight.append((logits, chunk))
-            for logits, chunk in in_flight:
-                lg = np.asarray(logits).reshape(chunk_gops, frames_per_gop,
-                                                -1)
-                for i, (p, *_, count) in enumerate(chunk):
-                    per_video[p].append(lg[i, :count])
-            for p, rows in per_video.items():
-                results[p] = np.concatenate(rows).mean(axis=0)
+        if host_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # pool.map yields in submission order while workers run ahead,
+            # so chunks dispatch as soon as the next IN-ORDER video lands
+            with ThreadPoolExecutor(max_workers=host_workers) as pool:
+                for p, (gathered, exc) in zip(paths,
+                                              pool.map(gather_one, paths)):
+                    consume(p, gathered, exc)
+        else:
+            for p in paths:
+                consume(p, *gather_one(p))
+        for hw, buf in pending.items():
+            if buf:  # flush the ragged tail chunk of each geometry
+                dispatch(hw, buf)
+        for logits, chunk, n_pick in in_flight:
+            lg = np.asarray(logits).reshape(chunk_gops, n_pick, -1)
+            for i, (p, *_, pick, w_, c, t) in enumerate(chunk):
+                per_video[p].append((lg[i, :len(pick)], w_))
+        for p, rows in per_video.items():
+            lg = np.concatenate([r for r, _ in rows])
+            wt = np.concatenate([w_ for _, w_ in rows])
+            results[p] = (lg * wt[:, None]).sum(axis=0) / wt.sum()
         return [results[p] for p in paths]

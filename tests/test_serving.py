@@ -176,8 +176,9 @@ def test_predict_videos_mixed_geometry_and_fallback(tmp_path, monkeypatch):
 
     orig = DMCPredictor._gather_video_device
 
-    def gather(self, path, fpg):
-        return None if path == p_c else orig(self, path, fpg)
+    def gather(self, path, fpg, segments=None):
+        return None if path == p_c else orig(self, path, fpg,
+                                             segments=segments)
 
     monkeypatch.setattr(DMCPredictor, "_gather_video_device", gather)
     with pltpu.force_tpu_interpret_mode():
@@ -271,3 +272,50 @@ def test_warmup_under_mesh(tmp_path):
     g = -(-8 // pred._gop_quant) * pred._gop_quant
     pred._gop_program(g, 12, 64, 96, 16, 3)
     assert pred._gop_program.cache_info().hits == hits + 1
+
+
+def test_predict_video_segments_protocol(tmp_path):
+    """segments=N (the reference 25-segment TSN test protocol,
+    test.py:48): the device-backtrace and host-accumulate paths agree,
+    short videos dedupe repeated picks into weights (score == the exact
+    protocol average), and only the picked GOPs are decoded."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    path = str(tmp_path / "v.avi")
+    _encode_panning(path, np.random.default_rng(81), n=38)
+    pred = _make_predictor()
+
+    host = pred.predict_video(path, backend="host", segments=7)
+    with pltpu.force_tpu_interpret_mode():
+        dev = pred.predict_video(path, backend="device", segments=7)
+    np.testing.assert_allclose(dev, host, atol=0.05)
+
+    # segments >> P-frames: duplicate picks -> weights; still well-formed
+    many = pred.predict_video(path, backend="host", segments=100)
+    assert np.isfinite(many).all()
+
+    # a protocol pick set decodes strictly fewer GOPs than the full scan
+    from dmcnet_tpu.codec.mpeg4 import VideoReader
+    with VideoReader(path) as r:
+        by_gop = pred._segment_picks(r, 2)
+        assert len(by_gop) < r.num_gops
+        total_w = sum(float(w.sum()) for _, w in by_gop.values())
+        assert total_w == 2  # every segment accounted for, as weight mass
+
+
+def test_predict_videos_segments_matches_single(tmp_path):
+    """Batched streaming dispatch with segments == per-video calls."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"s{i}.avi"
+        _encode_panning(str(p), np.random.default_rng(90 + i),
+                        n=14 + 12 * i)
+        paths.append(str(p))
+    pred = _make_predictor()
+    with pltpu.force_tpu_interpret_mode():
+        batched = pred.predict_videos(paths, chunk_gops=4, segments=5)
+        single = [pred.predict_video(p, segments=5) for p in paths]
+    for b, s in zip(batched, single):
+        np.testing.assert_allclose(b, s, atol=1e-5)
