@@ -14,6 +14,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from dmcnet_tpu.cli.train_options import num_classes_for
@@ -65,6 +66,11 @@ def build_parser():
     parser.add_argument('--gen_flow_ds_factor', type=int, default=0)
     parser.add_argument('--att', type=int, default=0)
     parser.add_argument('--mv_minmaxnorm', type=int, default=0)
+    parser.add_argument('--pp', type=int, default=0,
+                        help='pipeline-parallel stages for the ResNet-18 '
+                             'backbone (2 or 4): the scoring forward runs '
+                             'stage-pipelined over the first N devices, '
+                             'params stage-sharded (parallel/pp_resnet.py)')
     parser.add_argument('--packed-gen', type=int, default=0,
                         help='space-to-depth factor for the dense DMC '
                              'estimators (exact reparameterization; same '
@@ -154,17 +160,51 @@ def main(argv=None):
 
     total_seg = args.test_segments * args.test_crops
 
-    @jax.jit
-    def forward_video(batch):
-        outs = net.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["mv"], batch["residual"], train=False)
-        consensus = segment_consensus(outs[0], total_seg)
-        validity = outs[2] if args.arch_d else None
-        # first crop's generated DMC only (visualization; keeps the
-        # D2H transfer to one (H, W, 2) map per video)
-        gen0 = outs[1][0] if args.viz else None
-        return consensus, validity, gen0
+    if args.pp and args.pp > 1:
+        # Pipeline-parallel backbone: generator runs replicated (tiny),
+        # the ResNet-18 stages stream the total_seg-clip eval batch
+        # through a GPipe schedule with stage-sharded weights.
+        from dmcnet_tpu.parallel import (
+            make_pp_resnet18_apply,
+            make_stage_mesh,
+        )
+        if args.arch != "resnet18":
+            raise SystemExit("--pp currently supports --arch resnet18")
+        if args.viz or args.arch_d:
+            raise SystemExit("--pp composes with the plain scoring path "
+                             "only (no --viz / --arch_d)")
+        mesh_pp = make_stage_mesh(jax.devices()[:args.pp])
+        pp_classify = make_pp_resnet18_apply(
+            {"params": state.params["base_model"],
+             "batch_stats": state.batch_stats["base_model"]},
+            num_class, mesh_pp, n_microbatches=args.pp)
+
+        @jax.jit
+        def gen_flow_fn(batch):
+            return net.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["mv"], batch["residual"], False, method="generate")
+
+        def forward_video(batch):
+            gen = gen_flow_fn(batch)
+            n = gen.shape[0]
+            pad = (-n) % args.pp
+            if pad:  # microbatch count must divide the clip batch
+                gen = jnp.concatenate([gen, gen[:pad]], axis=0)
+            logits = pp_classify(gen)[:n]
+            return segment_consensus(logits, total_seg), None, None
+    else:
+        @jax.jit
+        def forward_video(batch):
+            outs = net.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch["mv"], batch["residual"], train=False)
+            consensus = segment_consensus(outs[0], total_seg)
+            validity = outs[2] if args.arch_d else None
+            # first crop's generated DMC only (visualization; keeps the
+            # D2H transfer to one (H, W, 2) map per video)
+            gen0 = outs[1][0] if args.viz else None
+            return consensus, validity, gen0
 
     if args.viz:
         import os

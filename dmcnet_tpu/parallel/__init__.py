@@ -15,11 +15,17 @@ from dmcnet_tpu.parallel.fsdp import (
     shard_state_fsdp,
 )
 from dmcnet_tpu.parallel.pipeline import (
+    flatten_tree,
+    make_hetero_pipeline_apply,
     make_pipeline_apply,
     make_stage_mesh,
     shard_stage_params,
     stack_stage_params,
     unstack_stage_params,
+)
+from dmcnet_tpu.parallel.pp_resnet import (
+    make_pp_resnet18_apply,
+    resnet18_stage_split,
 )
 from dmcnet_tpu.parallel.tensor import (
     make_mesh_2d,

@@ -1,0 +1,125 @@
+"""Pipeline-parallel ResNet-18: a REAL heterogeneous model through the
+GPipe schedule (parallel/pipeline.make_hetero_pipeline_apply).
+
+The torchvision-graph ResNet (models/resnet.py) splits into `n` pipeline
+stages along its residual stages — the natural cut points, where both the
+activation geometry and the parameter tree change (which is exactly what
+the homogeneous pipeline cannot express):
+
+    4 stages: [stem + layer1] [layer2] [layer3] [layer4 + avgpool + fc]
+    2 stages: [stem + layer1 + layer2] [layer3 + layer4 + head]
+
+Eval-mode inference (BN running statistics): the dmcnet test protocol's
+scoring forward (cli/test.py --pp).  The schedule itself is differentiable,
+so the same construction trains; the CLI exposes the inference path, which
+is where a 25-segment x 10-crop eval batch actually benefits from stage
+parallelism.  No reference analogue exists (its only parallelism is
+whole-model DataParallel, code/dmcnet/train.py:117).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dmcnet_tpu.models.layers import TorchBatchNorm, torch_pad
+from dmcnet_tpu.models.resnet import BasicBlock
+from dmcnet_tpu.parallel.pipeline import make_hetero_pipeline_apply
+
+
+def _sub(variables, names):
+    """Slice {params, batch_stats} down to the given top-level modules."""
+    out = {}
+    for coll in ("params", "batch_stats"):
+        src = variables.get(coll, {})
+        picked = {k: src[k] for k in names if k in src}
+        out[coll] = picked
+    return out
+
+
+def _apply_bn(variables, name, x):
+    return TorchBatchNorm(use_running_average=True).apply(
+        {"params": variables["params"][name],
+         "batch_stats": variables["batch_stats"][name]}, x)
+
+
+def _apply_conv(variables, name, x, features, kernel, stride, padding):
+    return nn.Conv(features, kernel, strides=stride, padding=padding,
+                   use_bias=False).apply(
+        {"params": variables["params"][name]}, x)
+
+
+def _apply_block(variables, name, x, features, stride):
+    block = BasicBlock(features, stride)
+    return block.apply(
+        {"params": variables["params"][name],
+         "batch_stats": variables["batch_stats"][name]}, x, False)
+
+
+def _stem(variables, x):
+    x = _apply_conv(variables, "conv1", x, 64, (7, 7), (2, 2), torch_pad(3))
+    x = nn.relu(_apply_bn(variables, "bn1", x))
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-jnp.inf)
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+def _layer(variables, x, stage, width):
+    for block in range(2):  # ResNet-18: two BasicBlocks per stage
+        stride = 2 if (stage > 0 and block == 0) else 1
+        x = _apply_block(variables, f"layer{stage + 1}_{block}", x, width,
+                         stride)
+    return x
+
+
+def _head(variables, x, num_classes):
+    x = jnp.mean(x, axis=(1, 2))
+    return nn.Dense(num_classes).apply(
+        {"params": variables["params"]["fc"]}, x)
+
+
+_WIDTHS = (64, 128, 256, 512)
+
+
+def resnet18_stage_split(variables, num_classes, n_stages=4):
+    """-> (stage_fns, stage_vars) for the hetero pipeline.  Supported
+    splits: 4 (one residual stage per device) and 2."""
+    def seg(stages, with_stem=False, with_head=False):
+        names = (["conv1", "bn1"] if with_stem else [])
+        names += [f"layer{s + 1}_{b}" for s in stages for b in range(2)]
+        if with_head:
+            names.append("fc")
+
+        def fn(v, x):
+            if with_stem:
+                x = _stem(v, x)
+            for s in stages:
+                x = _layer(v, x, s, _WIDTHS[s])
+            if with_head:
+                x = _head(v, x, num_classes)
+            return x
+
+        return fn, _sub(variables, names)
+
+    if n_stages == 4:
+        parts = [seg([0], with_stem=True), seg([1]), seg([2]),
+                 seg([3], with_head=True)]
+    elif n_stages == 2:
+        parts = [seg([0, 1], with_stem=True),
+                 seg([2, 3], with_head=True)]
+    else:
+        raise ValueError(f"unsupported ResNet-18 split: {n_stages} stages")
+    return [p[0] for p in parts], [p[1] for p in parts]
+
+
+def make_pp_resnet18_apply(variables, num_classes, mesh,
+                           n_microbatches=None, axis_name="stage"):
+    """fn(x) -> logits, running eval-mode ResNet-18 stage-pipelined over
+    `mesh`'s 'stage' axis (optionally x 'data').  Parameters are stored
+    stage-sharded (each device holds only its stages' weights)."""
+    n = mesh.shape[axis_name]
+    fns, svars = resnet18_stage_split(variables, num_classes, n_stages=n)
+    run, stacked = make_hetero_pipeline_apply(
+        fns, svars, mesh, n_microbatches=n_microbatches,
+        axis_name=axis_name)
+    return lambda x: run(stacked, x)

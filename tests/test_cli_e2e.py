@@ -226,3 +226,47 @@ def test_train_gan_cli(corpus, tmp_path, monkeypatch):
     with np.load(score_file + ".npz", allow_pickle=True) as data:
         assert len(data["scores"]) == NVID
         assert data["scores"][0][0].shape == (1, 51)
+
+
+def test_test_cli_pp_matches_plain(corpus, tmp_path, monkeypatch):
+    """--pp 4: the eval driver's stage-pipelined ResNet-18 scoring path
+    produces the same npz scores as the plain forward."""
+    import jax
+
+    from dmcnet_tpu.cli import test as test_cli
+    from dmcnet_tpu.models import DMCNet
+    from dmcnet_tpu.train.checkpoints import save_checkpoint
+    from dmcnet_tpu.train.engine import create_train_state
+
+    monkeypatch.chdir(tmp_path)
+    import jax.numpy as jnp
+    net = DMCNet(num_class=51, num_segments=3, representation="mv",
+                 arch="resnet18", arch_estimator="DenseNetTiny",
+                 gen_flow_or_delta=1)
+    sample = {"mv": jnp.zeros((1, 3, 64, 64, 2)),
+              "residual": jnp.zeros((1, 3, 64, 64, 3))}
+    state, _ = create_train_state(net, jax.random.key(3), sample,
+                                  lr_cls_mult=1.0, lr_mse_mult=1.0)
+    ckpt = str(tmp_path / "pp_ckpt.pth.tar")
+    save_checkpoint(state, {"epoch": 0, "arch": "resnet18",
+                            "best_prec1": 0.0}, ckpt)
+
+    common = [
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--representation", "mv", "--arch", "resnet18",
+        "--arch_estimator", "DenseNetTiny",
+        "--mv_minmaxnorm", "1", "--gen_flow_or_delta", "1",
+        "--test-list", corpus["list"], "--weights", ckpt,
+        "--test_segments", "3", "--test-crops", "1",
+        "--input_size", "64",
+    ]
+    plain = str(tmp_path / "plain_score")
+    acc0 = test_cli.main(common + ["--save-scores", plain])
+    pp = str(tmp_path / "pp_score")
+    acc1 = test_cli.main(common + ["--save-scores", pp, "--pp", "4"])
+    assert acc0 == acc1
+    with np.load(plain + ".npz", allow_pickle=True) as a, \
+            np.load(pp + ".npz", allow_pickle=True) as b:
+        for (sa, la), (sb, lb) in zip(a["scores"], b["scores"]):
+            assert la == lb
+            np.testing.assert_allclose(sa, sb, rtol=2e-4, atol=2e-5)
