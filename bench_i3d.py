@@ -98,6 +98,10 @@ def measure_both():
         dtype=jnp.bfloat16, packed=4, stop_gradient=True)["value"]
     out["stage1_frozen_samples_per_sec"] = measure(
         train_backbone=False)["value"]
+    # per-chip utilization is THE I3D lever (PERF_NOTES.md §2): batch 4
+    # leaves the chip half idle; 16 is the production per-chip figure
+    out["packed_bf16_batch16_samples_per_sec"] = measure(
+        batch=16, dtype=jnp.bfloat16, packed=4)["value"]
     return out
 
 
