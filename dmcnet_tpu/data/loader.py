@@ -28,19 +28,27 @@ class PrefetchLoader:
     """Iterate batches produced by `make_batch(batch_index)` with
     `num_batches` batches per epoch, prefetched by `workers` threads.
 
-    ORDERING: batches are yielded in COMPLETION order, not index order —
-    with `workers > 1`, a slow decode lets later indices overtake it.
-    Every batch is yielded exactly once, which is all randomized training
-    needs (torch DataLoader with shuffle has the same property in spirit),
-    but per-step logs are NOT reproducible across different worker counts.
-    Anything order-sensitive (eval score dumps, golden traces) must iterate
-    the dataset directly, as the eval loops in cli/train.py do."""
+    ORDERING: `ordered=True` (the default) yields batches in INDEX order —
+    workers still assemble ahead in parallel, and completed out-of-turn
+    batches wait in a small reorder buffer until their turn.  Per-step
+    logs/metrics are then reproducible across ANY `--workers` value (torch
+    DataLoader gives the same guarantee), at the cost of a head-of-line
+    stall when one batch decodes unusually slowly.
 
-    def __init__(self, make_batch, num_batches, workers=4, prefetch=8):
+    `ordered=False` yields in COMPLETION order: a slow decode lets later
+    indices overtake it, maximizing device feed at the price of
+    order-reproducibility.  Every batch is yielded exactly once either
+    way.  Anything strictly order-sensitive beyond logging (eval score
+    dumps, golden traces) still iterates the dataset directly, as the
+    eval loops in cli/train.py do."""
+
+    def __init__(self, make_batch, num_batches, workers=4, prefetch=8,
+                 ordered=True):
         self.make_batch = make_batch
         self.num_batches = num_batches
         self.workers = max(1, workers)
         self.prefetch = prefetch
+        self.ordered = ordered
 
     def __len__(self):
         return self.num_batches
@@ -67,9 +75,21 @@ class PrefetchLoader:
                    for _ in range(self.workers)]
         for t in threads:
             t.start()
+        # reorder buffer: bounded by construction — at most `workers`
+        # batches can be in flight past the next-needed index, and the
+        # bounded `out` queue already caps total buffered batches
+        pending = {}
+        nxt = 0
         try:
             for _ in range(self.num_batches):
-                i, batch = out.get()
+                if self.ordered:
+                    while nxt not in pending:
+                        i, batch = out.get()
+                        pending[i] = batch
+                    batch = pending.pop(nxt)
+                    nxt += 1
+                else:
+                    _, batch = out.get()
                 if isinstance(batch, Exception):
                     raise batch
                 yield batch

@@ -136,3 +136,33 @@ def test_flow_ds_factor(corpus):
     # Blocky: constant within each 16x16 block.
     blk = flow[:16, :16]
     assert np.allclose(blk, blk[0, 0])
+
+
+def test_prefetch_loader_ordered_by_default():
+    """ordered=True (default): index-order yields regardless of worker
+    completion order, so per-step train logs reproduce across any
+    --workers value; ordered=False still yields every batch exactly once."""
+    import time
+
+    from dmcnet_tpu.data.loader import PrefetchLoader
+
+    def slow_first(i):
+        time.sleep(0.2 if i == 0 else 0.0)
+        return i
+
+    got = list(PrefetchLoader(slow_first, 8, workers=4))
+    assert got == list(range(8)), got
+
+    unordered = list(PrefetchLoader(slow_first, 8, workers=4,
+                                    ordered=False))
+    assert sorted(unordered) == list(range(8))
+
+    # errors surface in the consumer in both modes
+    def boom(i):
+        if i == 3:
+            raise RuntimeError("bad batch")
+        return i
+
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="bad batch"):
+        list(PrefetchLoader(boom, 8, workers=4))
