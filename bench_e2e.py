@@ -115,7 +115,11 @@ def measure(n_videos=4, t=48, h=256, w=320):
     from dmcnet_tpu.codec.mpeg4 import encode_mpeg4 as _enc
     _enc(p_long, enc, gop_size=12, bit_rate=2_000_000)
     backend = "device" if dt_dev is not None else "host"
-    pred.predict_video(p_long, backend=backend, segments=25)  # warm
+    # warm BOTH paths: the 50-GOP full scan hits program shapes none of
+    # the 4-GOP videos compiled, and an unwarmed full scan would book XLA
+    # compile time as protocol speedup
+    pred.predict_video(p_long, backend=backend, segments=25)
+    pred.predict_video(p_long, backend=backend)
     t0 = time.perf_counter()
     s_seg = pred.predict_video(p_long, backend=backend, segments=25)
     dt_seg = time.perf_counter() - t0

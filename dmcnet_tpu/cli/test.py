@@ -170,9 +170,9 @@ def main(argv=None):
         )
         if args.arch != "resnet18":
             raise SystemExit("--pp currently supports --arch resnet18")
-        if args.viz or args.arch_d:
+        if args.viz or args.arch_d or args.att:
             raise SystemExit("--pp composes with the plain scoring path "
-                             "only (no --viz / --arch_d)")
+                             "only (no --viz / --arch_d / --att)")
         mesh_pp = make_stage_mesh(jax.devices()[:args.pp])
         pp_classify = make_pp_resnet18_apply(
             {"params": state.params["base_model"],
@@ -189,8 +189,9 @@ def main(argv=None):
             gen = gen_flow_fn(batch)
             n = gen.shape[0]
             pad = (-n) % args.pp
-            if pad:  # microbatch count must divide the clip batch
-                gen = jnp.concatenate([gen, gen[:pad]], axis=0)
+            if pad:  # microbatch count must divide the clip batch; wrap
+                # indices so even n < pad (tiny --test_segments) pads fully
+                gen = jnp.take(gen, jnp.arange(n + pad) % n, axis=0)
             logits = pp_classify(gen)[:n]
             return segment_consensus(logits, total_seg), None, None
     else:

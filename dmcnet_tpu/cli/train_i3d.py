@@ -195,6 +195,17 @@ def init_pretrained(args, params, bstats):
 
 def main(argv=None, dataset_default="HMDB51", input_size=224):
     args = autofill(build_parser(dataset_default).parse_args(argv))
+    if args.adv > 0 and args.modality != "flow+mp4":
+        # the reference only instantiates the discriminator + optimizer_3
+        # (and thus the even/odd D/G alternation) for the flow+mp4 symbol;
+        # with any other modality the D batch inputs (mv/res/flow) don't
+        # exist and our non-GAN LR driver never advances a D scheduler —
+        # refuse rather than silently run every D step at lr_d=0
+        # (model.py:354-358, lr_scheduler.I3DLRDriver docstring).
+        raise SystemExit(
+            f"--adv {args.adv} requires --modality flow+mp4 "
+            f"(got {args.modality}): the adversarial branch trains the "
+            "DMC generator, which only exists in the flow+mp4 symbol")
 
     # Multi-host: one jitted program spans all hosts' devices; each host
     # feeds its local shard (the reference's vestigial DDP path,

@@ -117,6 +117,18 @@ class VideoReader:
     def gop_len(self, gop):
         return self._lib.cv_gop_len(self._handle, gop)
 
+    def _require_mpeg4(self, what):
+        if not self.is_mpeg4:
+            raise ValueError(
+                f"{what} requires an MPEG-4 part 2 stream, but this stream's "
+                f"codec id is {self.codec_id} (AV_CODEC_ID_MPEG4 == 12). "
+                "H.264 multi-ref/B-frame motion vectors violate the coviar "
+                "single-forward-ref accumulate semantics, so decoding them "
+                "would silently corrupt mv/residual training data. "
+                "Transcode first: dmcnet_tpu.codec.convert / cv_transcode "
+                "(rgb/I frame decode is codec-generic and needs no "
+                "transcode).")
+
     def decode_gop(self, gop, with_mv=True):
         """Decode one GOP -> (frames_bgr (T,H,W,3) uint8, mv_maps (T,H,W,2) int16).
 
@@ -125,7 +137,15 @@ class VideoReader:
         rasterization in native code entirely and returns mv_maps=None —
         the rgb/I modalities never touch motion vectors, and non-MPEG4
         codecs (H.264 originals) have no dmcnet MV semantics to export.
+
+        `with_mv=True` on a non-MPEG4 stream raises: H.264 motion vectors
+        (multi-ref, B-frames, quarter-pel) and MJPEG's absence of them both
+        violate the coviar single-forward-ref accumulate math, so decoding
+        them would feed plausible-looking garbage into training — fail loud
+        and point at the transcoder instead.
         """
+        if with_mv:
+            self._require_mpeg4("motion-vector/residual decode")
         with self._lock:
             hit = self._cache.get((gop, True))
             if hit is None and not with_mv:
@@ -173,7 +193,11 @@ class VideoReader:
         native decoder (returns mv_maps=None): consumers that back-trace on
         the device only need the block lists, and the dense maps are the
         dominant rasterization cost per GOP.
+
+        MPEG-4-only like `decode_gop(with_mv=True)` — block lists carry the
+        same coviar MV semantics.
         """
+        self._require_mpeg4("motion-vector block-list decode")
         n = self.gop_len(gop)
         if n <= 0:
             raise IndexError(f"gop {gop} out of range")

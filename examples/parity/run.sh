@@ -53,14 +53,18 @@ if [ -n "${SCORES:-}" ]; then
     --mv "$CV/mv/split${SPLIT}/mv_score_model_best.npz" \
     --res "$CV/residual/split${SPLIT}/residual_score_model_best.npz" \
     | tee "$OUT/coviar.log"
-  [ "$SPLIT" = 1 ] && assert_acc "$OUT/coviar.log" 62.03 "CoViAR 3-mod split1"
+  if [ "$SPLIT" = 1 ]; then
+    assert_acc "$OUT/coviar.log" 62.03 "CoViAR 3-mod split1"
+  fi
   if [ -f "$GAN" ]; then
     python -m dmcnet_tpu.cli.combine \
       --iframe "$CV/iframe/split${SPLIT}/iframe_score_model_best.npz" \
       --mv "$CV/mv/split${SPLIT}/mv_score_model_best.npz" \
       --res "$CV/residual/split${SPLIT}/residual_score_model_best.npz" \
       --flow "$GAN" | tee "$OUT/gan.log"
-    [ "$SPLIT" = 1 ] && assert_acc "$OUT/gan.log" 64.05 "4-mod + DMC split1"
+    if [ "$SPLIT" = 1 ]; then
+      assert_acc "$OUT/gan.log" 64.05 "4-mod + DMC split1"
+    fi
   else
     echo "SKIP (GAN row): missing $GAN"
   fi
@@ -97,4 +101,6 @@ python -m dmcnet_tpu.cli.combine \
   --iframe "$OUT/iframe_score.npz" --mv "$OUT/mv_score.npz" \
   --res "$OUT/residual_score.npz" --flow "$OUT/dmc_score.npz" \
   | tee "$OUT/full.log"
-[ "$SPLIT" = 1 ] && assert_acc "$OUT/full.log" 64.05 "full pipeline split1"
+if [ "$SPLIT" = 1 ]; then
+  assert_acc "$OUT/full.log" 64.05 "full pipeline split1"
+fi

@@ -113,13 +113,21 @@ def test_generic_codec_rgb_decode(tmp_path, codec, container, codec_id):
         assert r.codec_id == codec_id and not r.is_mpeg4
         assert r.width == 192 and r.height == 128
         assert r.num_frames == 24 and r.num_gops == 2
-        dec, _ = r.decode_gop(0)
+        dec, mv = r.decode_gop(0, with_mv=False)
+        assert mv is None
         assert dec.shape == (r.gop_len(0), 128, 192, 3)
         err = np.abs(dec[0].astype(int) - frames[0].astype(int)).mean()
         assert err < 12.0, f"{codec} I-frame decode error too high: {err}"
         # P-frames decode too (full GOP, presentation order).
         err6 = np.abs(dec[6].astype(int) - frames[6].astype(int)).mean()
         assert err6 < 16.0, err6
+        # MV/residual semantics are MPEG-4-only: asking for them on this
+        # stream must fail LOUD (H.264 multi-ref MVs would silently
+        # violate the coviar accumulate math), pointing at the transcoder.
+        with pytest.raises(ValueError, match="MPEG-4"):
+            r.decode_gop(0)  # default with_mv=True
+        with pytest.raises(ValueError, match="MPEG-4"):
+            r.decode_gop_blocks(0)
 
 
 def test_shared_reader_cache_single_instance(video):
