@@ -510,12 +510,33 @@ class DMCPredictor:
             return None
         return cms, gop_data, picks, counts, weights, h, w
 
-    @staticmethod
-    def _pad_picks(picks, n_pick):
-        """Pad unpadded pick rows to the batch row width (edge mode: the
-        padded slots re-decode a real frame; they are masked out by
-        `counts` on the host)."""
-        return [np.pad(p, (0, n_pick - len(p)), mode="edge") for p in picks]
+    def _pack_rows(self, rows, g, tmax, h, w, cell, n_pick):
+        """Assemble real GOP rows `(cm, cell_of_cm, iframe, fp, pick)` into
+        the flat uint8 device buffer, padded to `g` GOP rows.  The ONE
+        packing implementation behind both the per-video device path and
+        the streamed chunk dispatch — cells expand to the batch-wide `cell`
+        (a 16-grid expands exactly to 8: uniform motion), pick rows edge-pad
+        to `n_pick` (padded slots re-score a real frame and are masked out
+        by `counts`/`len(pick)` on the host)."""
+        ncy, ncx = h // cell, w // cell
+        size = self.input_size
+        cm_b = np.zeros((g, tmax, ncy, ncx, 2), np.int32)
+        if_b = np.zeros((g, h, w, 3), np.uint8)
+        fp_b = np.zeros((g, n_pick, size, size, 3), np.uint8)
+        pk_b = np.ones((g, n_pick), np.uint8)
+        for i, (cm, c, iframe, fp, pick) in enumerate(rows):
+            if c != cell:
+                cm = np.repeat(np.repeat(cm, c // cell, axis=1),
+                               c // cell, axis=2)
+            cm_b[i, :cm.shape[0]] = cm
+            if_b[i] = iframe
+            # Only the I-frame and the picked frames go to the device
+            # (pre-cropped): 3-4x fewer H2D bytes than shipping every
+            # decoded frame of the GOP.
+            fp_b[i, :fp.shape[0]] = fp
+            pk_b[i, :len(pick)] = pick
+            pk_b[i, len(pick):] = pick[-1]
+        return self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
 
     def _predict_video_device(self, path, frames_per_gop=3, segments=None):
         """Device-backtrace inference from MV block lists; returns None
@@ -532,34 +553,17 @@ class DMCPredictor:
         if gathered is None:
             return None
         cms, gop_data, picks, counts, weights, h, w = gathered
-        # Unify cell sizes: a 16-cell grid expands exactly to 8 (uniform).
         cell = min(c for _, c in cms)
-        cms = [np.repeat(np.repeat(cm, c // cell, axis=1), c // cell, axis=2)
-               for cm, c in cms]
         g_real = len(cms)
         tmax = max(t for _, _, t in gop_data)
         if tmax > 255:
             return None  # picks ride as uint8 in the combined buffer
         g_pad = -(-g_real // self._gop_quant) * self._gop_quant
         n_pick = max(frames_per_gop, max(counts))
-        picks = self._pad_picks(picks, n_pick)
-        ncy, ncx = h // cell, w // cell
-        size = self.input_size
-        cm_b = np.zeros((g_pad, tmax, ncy, ncx, 2), np.int32)
-        if_b = np.zeros((g_pad, h, w, 3), np.uint8)
-        fp_b = np.zeros((g_pad, n_pick, size, size, 3), np.uint8)
-        pk_b = np.ones((g_pad, n_pick), np.uint8)
-        for i, (cm, (iframe, fp, _), pk) in enumerate(
-                zip(cms, gop_data, picks)):
-            cm_b[i, :cm.shape[0]] = cm
-            if_b[i] = iframe
-            # Only the I-frame and the picked frames go to the device
-            # (pre-cropped): 3-4x fewer H2D bytes than shipping every
-            # decoded frame of the GOP.
-            fp_b[i, :fp.shape[0]] = fp
-            pk_b[i] = pk
+        rows = [(cm, c, iframe, fp, pick) for (cm, c), (iframe, fp, _), pick
+                in zip(cms, gop_data, picks)]
         fn = self._gop_program(g_pad, tmax, h, w, cell, n_pick)
-        buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
+        buf = self._pack_rows(rows, g_pad, tmax, h, w, cell, n_pick)
         logits, _, _ = fn(jnp.asarray(buf))
         logits = np.asarray(logits).reshape(g_pad, n_pick, -1)
         rows = np.concatenate([logits[i, :k] for i, k in enumerate(counts)])
@@ -602,7 +606,6 @@ class DMCPredictor:
         Returns a list of score vectors aligned with `paths`.  Videos that
         disqualify from the device path (see predict_video) fall back to
         the host-accumulate path individually."""
-        size = self.input_size
         results = {}
         per_video = {}   # path -> [(logit rows, weight rows), ...]
         pending = {}     # (h, w) -> buffered flat GOP rows
@@ -639,21 +642,10 @@ class DMCPredictor:
             tmax = max(12, -(-max(t for *_, t in chunk) // 12) * 12)
             n_pick = max(frames_per_gop,
                          max(len(pk) for *_, pk, _, _, _ in chunk))
-            ncy, ncx = h // cell, w // cell
-            cm_b = np.zeros((chunk_gops, tmax, ncy, ncx, 2), np.int32)
-            if_b = np.zeros((chunk_gops, h, w, 3), np.uint8)
-            fp_b = np.zeros((chunk_gops, n_pick, size, size, 3), np.uint8)
-            pk_b = np.ones((chunk_gops, n_pick), np.uint8)
-            for i, (_, cm, iframe, fp, pick, _, c, _) in enumerate(chunk):
-                cm = np.repeat(np.repeat(cm, c // cell, axis=1),
-                               c // cell, axis=2)
-                cm_b[i, :cm.shape[0]] = cm
-                if_b[i] = iframe
-                fp_b[i, :fp.shape[0]] = fp
-                pk_b[i, :len(pick)] = pick
-                pk_b[i, len(pick):] = pick[-1]
+            rows = [(cm, c, iframe, fp, pick)
+                    for (_, cm, iframe, fp, pick, _, c, _) in chunk]
             fn = self._gop_program(chunk_gops, tmax, h, w, cell, n_pick)
-            buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
+            buf = self._pack_rows(rows, chunk_gops, tmax, h, w, cell, n_pick)
             logits, _, _ = fn(jnp.asarray(buf))
             in_flight.append((logits, chunk, n_pick))
 
