@@ -27,8 +27,14 @@ def _build_native():
 
 @functools.lru_cache(maxsize=None)
 def _lib():
-    if not os.path.exists(_LIB_PATH):
+    try:
+        # no-op when up to date (make's mtime check): a stale .so from a
+        # previous source version would otherwise be loaded silently and
+        # miss newer symbols
         _build_native()
+    except Exception:
+        if not os.path.exists(_LIB_PATH):
+            raise
     lib = ctypes.CDLL(_LIB_PATH)
     lib.cv_open.restype = ctypes.c_void_p
     lib.cv_open.argtypes = [ctypes.c_char_p]
@@ -52,6 +58,13 @@ def _lib():
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+    lib.cv_decode_gop_blocks_keep.restype = ctypes.c_int
+    lib.cv_decode_gop_blocks_keep.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int16),
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8)]
     lib.cv_accumulate_gop.restype = None
     lib.cv_accumulate_gop.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),
@@ -183,7 +196,8 @@ class VideoReader:
                     self._cache.pop(old, None)
         return frames, mv_maps
 
-    def decode_gop_blocks(self, gop, max_blocks=None, skip_dense=False):
+    def decode_gop_blocks(self, gop, max_blocks=None, skip_dense=False,
+                          keep=None):
         """Decode one GOP including raw MV block lists.
 
         Returns (frames (T,H,W,3) uint8, mv_maps (T,H,W,2) int16 or None,
@@ -193,6 +207,13 @@ class VideoReader:
         native decoder (returns mv_maps=None): consumers that back-trace on
         the device only need the block lists, and the dense maps are the
         dominant rasterization cost per GOP.
+
+        `keep`: optional iterable of frame indices (or a bool mask) — only
+        those frames are converted YUV->BGR (others return zero rows).
+        Every frame is still entropy-decoded (P-frame reconstruction is
+        sequential) and MV block lists cover every frame, but the sws_scale
+        conversion — a material share of per-GOP host time — is skipped
+        for frames the caller discards.
 
         MPEG-4-only like `decode_gop(with_mv=True)` — block lists carry the
         same coviar MV semantics.
@@ -213,13 +234,31 @@ class VideoReader:
             mv_ptr = mv_maps.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
         blocks = np.zeros((n, max_blocks, 6), np.int32)
         n_blocks = np.zeros((n,), np.int32)
-        got = self._lib.cv_decode_gop_blocks(
+        if keep is None:
+            keep_ptr = None
+        else:
+            # bool array = per-frame mask; integer array/list = frame
+            # indices.  The dtype disambiguates — an int 0/1 array would
+            # otherwise silently select frames 0 and 1.
+            keep_arr = np.asarray(keep)
+            if keep_arr.dtype == np.bool_:
+                if keep_arr.shape != (n,):
+                    raise ValueError(
+                        f"keep mask shape {keep_arr.shape} != ({n},)")
+            else:
+                mask = np.zeros(n, bool)
+                mask[np.asarray(keep_arr, np.int64)] = True
+                keep_arr = mask
+            keep_arr = np.ascontiguousarray(keep_arr, np.uint8)
+            keep_ptr = keep_arr.ctypes.data_as(
+                ctypes.POINTER(ctypes.c_uint8))
+        got = self._lib.cv_decode_gop_blocks_keep(
             self._handle, gop,
             frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             mv_ptr, n,
             blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             n_blocks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            max_blocks)
+            max_blocks, keep_ptr)
         if got < 0:
             raise IOError(f"decode failed for gop {gop}")
         return (frames[:got], None if skip_dense else mv_maps[:got],

@@ -241,24 +241,41 @@ int cv_gop_len(void* handle, int gop) {
 // back-tracing kernel (ops/pallas_backtrace.py).
 static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
                            int16_t* mv_maps, int max_frames, int32_t* blocks,
-                           int32_t* n_blocks, int max_blocks);
+                           int32_t* n_blocks, int max_blocks,
+                           const uint8_t* keep);
 
 int cv_decode_gop(void* handle, int gop, uint8_t* frames_bgr, int16_t* mv_maps,
                   int max_frames) {
   return decode_gop_impl(handle, gop, frames_bgr, mv_maps, max_frames,
-                         nullptr, nullptr, 0);
+                         nullptr, nullptr, 0, nullptr);
 }
 
 int cv_decode_gop_blocks(void* handle, int gop, uint8_t* frames_bgr,
                          int16_t* mv_maps, int max_frames, int32_t* blocks,
                          int32_t* n_blocks, int max_blocks) {
   return decode_gop_impl(handle, gop, frames_bgr, mv_maps, max_frames,
-                         blocks, n_blocks, max_blocks);
+                         blocks, n_blocks, max_blocks, nullptr);
+}
+
+// Like cv_decode_gop_blocks, but converts only frames with keep[i] != 0 to
+// BGR (others stay zero).  Every frame is still ENTROPY-decoded — P-frame
+// reconstruction is sequential — but the YUV->BGR sws_scale, a material
+// share of per-GOP host time, is skipped for frames the caller discards
+// (the device back-trace path ships only the I-frame + picked frames).
+// `keep` may be null (= keep all).  MV side data is exported for every
+// frame regardless: motion drives the on-device accumulate recursion.
+int cv_decode_gop_blocks_keep(void* handle, int gop, uint8_t* frames_bgr,
+                              int16_t* mv_maps, int max_frames,
+                              int32_t* blocks, int32_t* n_blocks,
+                              int max_blocks, const uint8_t* keep) {
+  return decode_gop_impl(handle, gop, frames_bgr, mv_maps, max_frames,
+                         blocks, n_blocks, max_blocks, keep);
 }
 
 static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
                            int16_t* mv_maps, int max_frames, int32_t* blocks,
-                           int32_t* n_blocks, int max_blocks) {
+                           int32_t* n_blocks, int max_blocks,
+                           const uint8_t* keep) {
   auto* h = static_cast<Handle*>(handle);
   if (!cv_ok(handle) || gop < 0 || gop >= (int)h->gop_start.size()) return -1;
   int begin = h->gop_start[gop];
@@ -295,7 +312,8 @@ static int decode_gop_impl(void* handle, int gop, uint8_t* frames_bgr,
       if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return true;
       if (ret < 0) return false;
       if (out_idx < max_frames) {
-        dec.to_bgr(frame, frames_bgr + (size_t)out_idx * frame_px * 3);
+        if (!keep || keep[out_idx])
+          dec.to_bgr(frame, frames_bgr + (size_t)out_idx * frame_px * 3);
         AVFrameSideData* sd =
             av_frame_get_side_data(frame, AV_FRAME_DATA_MOTION_VECTORS);
         if (sd) {

@@ -485,21 +485,40 @@ class DMCPredictor:
                       if segments else None)
             gops = sorted(by_gop) if segments else range(reader.num_gops)
             for gidx in gops:
+                def picks_for(n):
+                    if segments:
+                        p, w_ = by_gop[gidx]
+                        return np.minimum(p, n - 1), w_
+                    p = np.linspace(1, n - 1, min(frames_per_gop, n - 1))
+                    p = np.unique(np.round(p).astype(np.int32))
+                    return p, np.ones(len(p), np.float32)
+
+                # Picks are known from the GOP length BEFORE decoding, so
+                # the native decoder can skip the YUV->BGR conversion of
+                # every frame we won't ship (entropy decode still covers
+                # all of them — P-frame reconstruction is sequential).
+                n_exp = reader.gop_len(gidx)
+                keep = None
+                if n_exp >= 2:
+                    pick, wt = picks_for(n_exp)
+                    # bool dtype matters: an integer array would be read
+                    # as an INDEX list by decode_gop_blocks
+                    keep = np.zeros(n_exp, bool)
+                    keep[0] = True
+                    keep[pick] = True
                 frames, _, blocks, n_blocks = reader.decode_gop_blocks(
-                    gidx, skip_dense=True)
+                    gidx, skip_dense=True, keep=keep)
                 if len(frames) < 2:
                     continue
+                if len(frames) != n_exp:
+                    # decode shortfall: the predicted picks are invalid and
+                    # skipped conversions may cover real rows — re-decode
+                    frames, _, blocks, n_blocks = reader.decode_gop_blocks(
+                        gidx, skip_dense=True)
+                    pick, wt = picks_for(len(frames))
                 cm, cell = cell_mv_from_blocks(blocks, n_blocks, h, w)
                 if cm is None:
                     return None
-                if segments:
-                    pick, wt = by_gop[gidx]
-                    pick = np.minimum(pick, len(frames) - 1)
-                else:
-                    pick = np.linspace(1, len(frames) - 1,
-                                       min(frames_per_gop, len(frames) - 1))
-                    pick = np.unique(np.round(pick).astype(np.int32))
-                    wt = np.ones(len(pick), np.float32)
                 counts.append(len(pick))
                 weights.append(wt)
                 picks.append(pick)

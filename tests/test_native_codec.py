@@ -152,3 +152,27 @@ def test_coviar_compat_api(video):
     assert res.shape == (128, 192, 3) and res.dtype == np.int32
     iframe = coviar_compat.load(path, 1, 0, coviar_compat.IFRAME, True)
     assert iframe.shape == (128, 192, 3) and iframe.dtype == np.uint8
+
+
+def test_decode_gop_blocks_keep_mask(video):
+    """keep=<indices>: kept rows bit-match the full decode, skipped rows
+    come back zero (their YUV->BGR conversion never ran), and the MV block
+    lists are identical — motion covers every frame regardless."""
+    path, _ = video
+    with VideoReader(path) as r:
+        full, _, blocks_f, nb_f = r.decode_gop_blocks(0, skip_dense=True)
+        t = full.shape[0]
+        kept, _, blocks_k, nb_k = r.decode_gop_blocks(
+            0, skip_dense=True, keep=[0, 5, t - 1])
+        np.testing.assert_array_equal(nb_f, nb_k)
+        np.testing.assert_array_equal(blocks_f, blocks_k)
+        for i in range(t):
+            if i in (0, 5, t - 1):
+                np.testing.assert_array_equal(kept[i], full[i])
+            else:
+                assert not kept[i].any(), f"frame {i} should be zero"
+        # bool-mask spelling yields the same result
+        mask = np.zeros(t, bool)
+        mask[[0, 5, t - 1]] = True
+        kept2, _, _, _ = r.decode_gop_blocks(0, skip_dense=True, keep=mask)
+        np.testing.assert_array_equal(kept, kept2)
