@@ -65,6 +65,11 @@ def _lib():
         ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint8)]
+    lib.cv_cells_from_blocks.restype = ctypes.c_int
+    lib.cv_cells_from_blocks.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
     lib.cv_accumulate_gop.restype = None
     lib.cv_accumulate_gop.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_uint8),

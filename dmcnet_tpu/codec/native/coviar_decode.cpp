@@ -487,6 +487,46 @@ int cv_encode_mpeg4(const char* path, const uint8_t* frames_bgr,
 }
 
 // ---------------------------------------------------------------------------
+// Validate one GOP's MV block lists against the Pallas back-trace kernel's
+// cell-uniform contract and scatter them into a per-cell grid — the native
+// twin of ops/pallas_backtrace.cell_mv_from_blocks's per-frame loop (the
+// numpy version remains the executable spec + fallback and the two are
+// A/B'd in tests).  Returns 1 when every block is cell-aligned, in-bounds
+// and |mv| <= max_mv (grid filled), 0 to disqualify (caller retries at a
+// smaller cell or falls back to the dense host path).
+// `grid` is a zeroed (t, height/cell, width/cell, 2) int32 buffer.
+int cv_cells_from_blocks(const int32_t* blocks /* (t,max_blocks,6) */,
+                         const int32_t* n_blocks /* (t,) */, int t_len,
+                         int max_blocks, int height, int width, int cell,
+                         int max_mv, int32_t* grid) {
+  if (cell <= 0 || height % cell || width % cell) return 0;
+  const int ncx = width / cell;
+  const int ncy = height / cell;
+  for (int t = 0; t < t_len; ++t) {
+    const int32_t* rows = blocks + (size_t)t * max_blocks * 6;
+    int32_t* g = grid + (size_t)t * ncy * ncx * 2;
+    const int n = n_blocks[t];
+    for (int i = 0; i < n; ++i) {
+      const int32_t* b = rows + (size_t)i * 6;
+      const int bw = b[4], bh = b[5];
+      const int x0 = b[2] - bw / 2, y0 = b[3] - bh / 2;
+      const int vx = b[2] - b[0], vy = b[3] - b[1];
+      if (vx > max_mv || vx < -max_mv || vy > max_mv || vy < -max_mv ||
+          bw % cell || bh % cell || x0 % cell || y0 % cell || x0 < 0 ||
+          y0 < 0 || x0 + bw > width || y0 + bh > height)
+        return 0;
+      const int cx = x0 / cell, cy = y0 / cell;
+      for (int dy = 0; dy < bh / cell; ++dy)
+        for (int dx = 0; dx < bw / cell; ++dx) {
+          int32_t* cellp = g + (((size_t)(cy + dy) * ncx) + (cx + dx)) * 2;
+          cellp[0] = vx;
+          cellp[1] = vy;
+        }
+    }
+  }
+  return 1;
+}
+
 // Host-side fused accumulation (data-loader workers).
 // Same semantics as the device kernels (dense-map formulation of
 // coviar_data_loader.c:88-175): per frame, accu_src[p] = accu_src_old[p-mv]

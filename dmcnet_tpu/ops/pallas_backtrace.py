@@ -145,6 +145,38 @@ def cell_mv_from_blocks(blocks, n_blocks, height, width):
     """
     blocks = np.asarray(blocks, np.int32)
     n_blocks = np.asarray(n_blocks, np.int32)
+    try:
+        # native twin (codec/native cv_cells_from_blocks): same validate +
+        # scatter, ~20x faster — this runs per GOP on the serving hot
+        # path.  cell_mv_from_blocks_np below is the executable spec and
+        # the fallback; test_pallas_backtrace A/Bs the two.
+        from dmcnet_tpu.codec.mpeg4 import _lib
+        import ctypes
+
+        lib = _lib()
+    except Exception:
+        return cell_mv_from_blocks_np(blocks, n_blocks, height, width)
+    t = blocks.shape[0]
+    blocks_c = np.ascontiguousarray(blocks)
+    nb_c = np.ascontiguousarray(n_blocks)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    for cell in (16, 8):
+        if height % cell or width % cell:
+            continue
+        grids = np.zeros((t, height // cell, width // cell, 2), np.int32)
+        if lib.cv_cells_from_blocks(
+                blocks_c.ctypes.data_as(i32p), nb_c.ctypes.data_as(i32p),
+                t, blocks.shape[1], height, width, cell, max_mv(cell),
+                grids.ctypes.data_as(i32p)):
+            return grids, cell
+    return None, 0
+
+
+def cell_mv_from_blocks_np(blocks, n_blocks, height, width):
+    """Pure-numpy `cell_mv_from_blocks`: the executable spec of
+    cv_cells_from_blocks and the fallback when the native lib is absent."""
+    blocks = np.asarray(blocks, np.int32)
+    n_blocks = np.asarray(n_blocks, np.int32)
     t = blocks.shape[0]
     for cell in (16, 8):
         if height % cell or width % cell:

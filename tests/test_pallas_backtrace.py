@@ -247,3 +247,31 @@ def test_warp_kernel_uniform_motion():
         golden_accu = accumulate_gop_numpy(block_lists, H, W, t)
         np.testing.assert_array_equal(
             np.asarray(accu)[t].transpose(1, 2, 0), golden_accu)
+
+
+def test_cells_from_blocks_native_matches_numpy_spec(rng):
+    """cv_cells_from_blocks (native, serving hot path) == the numpy
+    executable spec, on valid AND disqualifying block lists (misaligned
+    origins, out-of-range motion, 16- vs 8-cell block mixes)."""
+    h, w = 128, 192
+    for trial in range(200):
+        nb = rng.integers(0, 6, size=(3,)).astype(np.int32)
+        bl = np.zeros((3, 8, 6), np.int32)
+        for ti in range(3):
+            for i in range(nb[ti]):
+                cell = int(rng.choice([8, 16]))
+                x0 = int(rng.integers(-1, w // cell)) * cell
+                y0 = int(rng.integers(0, h // cell)) * cell
+                if rng.random() < 0.25:
+                    x0 += int(rng.integers(1, 8))  # misaligned origin
+                vx = int(rng.integers(-60, 61))   # sometimes > max_mv
+                vy = int(rng.integers(-12, 13))
+                bl[ti, i] = [x0 + cell // 2 - vx, y0 + cell // 2 - vy,
+                             x0 + cell // 2, y0 + cell // 2, cell, cell]
+        a, ca = pb.cell_mv_from_blocks(bl, nb, h, w)
+        b, cb = pb.cell_mv_from_blocks_np(bl, nb, h, w)
+        assert ca == cb, (trial, ca, cb)
+        if a is None:
+            assert b is None
+        else:
+            np.testing.assert_array_equal(a, b)
