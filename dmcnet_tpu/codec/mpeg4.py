@@ -32,9 +32,21 @@ def _lib():
         # previous source version would otherwise be loaded silently and
         # miss newer symbols
         _build_native()
-    except Exception:
+    except Exception as e:
         if not os.path.exists(_LIB_PATH):
             raise
+        # A stale .so may be missing newer symbols; surface the real build
+        # failure now instead of letting a confusing AttributeError
+        # (undefined symbol) bury it below.
+        import warnings
+        detail = ""
+        if isinstance(e, subprocess.CalledProcessError) and e.stderr:
+            detail = ": " + e.stderr.decode(errors="replace").strip()[-500:]
+        warnings.warn(
+            f"native rebuild failed ({e!r}{detail}); falling back to the "
+            f"existing {_LIB_PATH} — if loading below fails with an "
+            "undefined symbol, this build failure is the root cause",
+            RuntimeWarning)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.cv_open.restype = ctypes.c_void_p
     lib.cv_open.argtypes = [ctypes.c_char_p]
@@ -169,7 +181,10 @@ class VideoReader:
             if hit is None and not with_mv:
                 hit = self._cache.get((gop, False))
             if hit is not None:
-                return hit
+                # honor the documented contract regardless of cache
+                # history: with_mv=False always returns mv_maps=None even
+                # when a full-decode entry satisfied the lookup
+                return hit if with_mv else (hit[0], None)
         n = self.gop_len(gop)
         if n <= 0:
             raise IndexError(f"gop {gop} out of range (num_gops={self.num_gops})")

@@ -506,6 +506,8 @@ int cv_cells_from_blocks(const int32_t* blocks /* (t,max_blocks,6) */,
     const int32_t* rows = blocks + (size_t)t * max_blocks * 6;
     int32_t* g = grid + (size_t)t * ncy * ncx * 2;
     const int n = n_blocks[t];
+    if (n > max_blocks) return 0;  // out-of-contract caller: disqualify,
+                                   // never read past the row buffer
     for (int i = 0; i < n; ++i) {
       const int32_t* b = rows + (size_t)i * 6;
       const int bw = b[4], bh = b[5];

@@ -94,11 +94,12 @@ class VideoClipDataset:
         reader = self._reader(item.path)
         gop_index = max(0, min(gop_index, reader.num_gops - 1))
         bound = 20 if self.mv_minmaxnorm else None
-        # rgb/I never touch motion vectors: skip MV rasterization +
+        # rgb/I/flow never touch motion vectors: skip MV rasterization +
         # accumulation (also the only valid mode for non-MPEG4 originals,
         # e.g. H.264 — matching the reference's codec-generic cv2 rgb
-        # reader, code/dmcnet_I3D/data/video_iterator.py:185-309).
-        frames_only = self.modality in ("rgb", "I")
+        # reader, code/dmcnet_I3D/data/video_iterator.py:185-309).  'flow'
+        # reads external JPEGs and uses frames only for their shape.
+        frames_only = self.modality in ("rgb", "I", "flow")
         frames, mv_enc, res_enc = self._gops.get(
             reader, item.path, gop_index, self.accumulate, bound,
             frames_only=frames_only)

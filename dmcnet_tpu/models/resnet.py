@@ -46,6 +46,39 @@ class BasicBlock(nn.Module):
         return nn.relu(y + identity)
 
 
+# The stem/stage/head graph pieces are module-level functions so the
+# pipeline stage split (parallel/pp_resnet.py) runs the SAME code as
+# `ResNet.__call__` — a geometry or BN change here reaches both paths.
+
+def make_stem_conv(dtype=None, name="conv1"):
+    """The torchvision 7x7/s2 input conv (pre-TSN-surgery geometry)."""
+    return nn.Conv(64, (7, 7), strides=(2, 2), padding=torch_pad(3),
+                   use_bias=False, dtype=dtype, name=name)
+
+
+def forward_stem(x, conv1, bn1):
+    """conv7x7/s2 -> BN -> ReLU -> torch MaxPool2d(3, 2, padding=1)
+    (floor mode, via -inf pad + VALID pool)."""
+    x = nn.relu(bn1(conv1(x)))
+    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                constant_values=-jnp.inf)
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+
+
+def block_stride(stage, block):
+    """torchvision rule: first block of every non-first stage strides 2."""
+    return 2 if (stage > 0 and block == 0) else 1
+
+
+def block_name(stage, block):
+    return f"layer{stage + 1}_{block}"
+
+
+def forward_head(x, fc):
+    """Adaptive avg pool to 1x1 + classifier."""
+    return fc(jnp.mean(x, axis=(1, 2)))
+
+
 class ResNet(nn.Module):
     """ResNet-18/34 family (BasicBlock); returns logits.
 
@@ -61,22 +94,14 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=True):
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=torch_pad(3),
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = batch_norm(train, name="bn1")(x)
-        x = nn.relu(x)
-        # torch MaxPool2d(3, 2, padding=1), floor mode.
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        x = forward_stem(x, make_stem_conv(self.dtype),
+                         batch_norm(train, name="bn1"))
         for stage, (n_blocks, w) in enumerate(
                 zip(self.stage_sizes, self.widths)):
             for block in range(n_blocks):
-                stride = 2 if (stage > 0 and block == 0) else 1
-                x = BasicBlock(w, stride, self.dtype,
-                               name=f"layer{stage + 1}_{block}")(x, train)
-        x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool to 1x1
-        return nn.Dense(self.num_classes, name="fc")(x)
+                x = BasicBlock(w, block_stride(stage, block), self.dtype,
+                               name=block_name(stage, block))(x, train)
+        return forward_head(x, nn.Dense(self.num_classes, name="fc"))
 
 
 resnet18 = partial(ResNet, stage_sizes=(2, 2, 2, 2), widths=(64, 128, 256, 512))

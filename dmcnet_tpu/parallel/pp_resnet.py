@@ -20,10 +20,11 @@ whole-model DataParallel, code/dmcnet/train.py:117).
 from __future__ import annotations
 
 import flax.linen as nn
-import jax.numpy as jnp
 
-from dmcnet_tpu.models.layers import TorchBatchNorm, torch_pad
-from dmcnet_tpu.models.resnet import BasicBlock
+from dmcnet_tpu.models.layers import TorchBatchNorm
+from dmcnet_tpu.models.resnet import (BasicBlock, block_name, block_stride,
+                                      forward_head, forward_stem,
+                                      make_stem_conv)
 from dmcnet_tpu.parallel.pipeline import make_hetero_pipeline_apply
 
 
@@ -37,45 +38,37 @@ def _sub(variables, names):
     return out
 
 
-def _apply_bn(variables, name, x):
-    return TorchBatchNorm(use_running_average=True).apply(
-        {"params": variables["params"][name],
-         "batch_stats": variables["batch_stats"][name]}, x)
-
-
-def _apply_conv(variables, name, x, features, kernel, stride, padding):
-    return nn.Conv(features, kernel, strides=stride, padding=padding,
-                   use_bias=False).apply(
-        {"params": variables["params"][name]}, x)
-
-
-def _apply_block(variables, name, x, features, stride):
-    block = BasicBlock(features, stride)
-    return block.apply(
-        {"params": variables["params"][name],
-         "batch_stats": variables["batch_stats"][name]}, x, False)
+def _bound(variables, name, module):
+    """Standalone eval-mode apply-closure over one sliced submodule — the
+    pipeline runs the SAME graph functions as `ResNet.__call__` (forward_
+    stem/block_stride/forward_head from models/resnet.py), just with the
+    submodules bound to stage-sliced variable trees instead of compact
+    in-module construction."""
+    cols = {"params": variables["params"][name]}
+    if name in variables.get("batch_stats", {}):
+        cols["batch_stats"] = variables["batch_stats"][name]
+    return lambda x: module.apply(cols, x)
 
 
 def _stem(variables, x):
-    x = _apply_conv(variables, "conv1", x, 64, (7, 7), (2, 2), torch_pad(3))
-    x = nn.relu(_apply_bn(variables, "bn1", x))
-    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                constant_values=-jnp.inf)
-    return nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+    return forward_stem(
+        x, _bound(variables, "conv1", make_stem_conv()),
+        _bound(variables, "bn1", TorchBatchNorm(use_running_average=True)))
 
 
 def _layer(variables, x, stage, width):
     for block in range(2):  # ResNet-18: two BasicBlocks per stage
-        stride = 2 if (stage > 0 and block == 0) else 1
-        x = _apply_block(variables, f"layer{stage + 1}_{block}", x, width,
-                         stride)
+        name = block_name(stage, block)
+        mod = BasicBlock(width, block_stride(stage, block))
+        cols = {"params": variables["params"][name],
+                "batch_stats": variables["batch_stats"][name]}
+        x = mod.apply(cols, x, False)
     return x
 
 
 def _head(variables, x, num_classes):
-    x = jnp.mean(x, axis=(1, 2))
-    return nn.Dense(num_classes).apply(
-        {"params": variables["params"]["fc"]}, x)
+    return forward_head(
+        x, _bound(variables, "fc", nn.Dense(num_classes)))
 
 
 _WIDTHS = (64, 128, 256, 512)
@@ -86,7 +79,7 @@ def resnet18_stage_split(variables, num_classes, n_stages=4):
     splits: 4 (one residual stage per device) and 2."""
     def seg(stages, with_stem=False, with_head=False):
         names = (["conv1", "bn1"] if with_stem else [])
-        names += [f"layer{s + 1}_{b}" for s in stages for b in range(2)]
+        names += [block_name(s, b) for s in stages for b in range(2)]
         if with_head:
             names.append("fc")
 

@@ -22,10 +22,20 @@ import jax.numpy as jnp
 import numpy as np
 
 from dmcnet_tpu.codec.host_accumulate import gop_mv_residual_u8
-from dmcnet_tpu.codec.mpeg4 import VideoReader
+from dmcnet_tpu.codec.mpeg4 import shared_reader_cache
 from dmcnet_tpu.data.transforms import IMAGENET_STD, MEAN_STD
 from dmcnet_tpu.models import DMCNet
 from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator
+
+
+def _cached_reader(path):
+    """Open `path` through the process-wide shared `ReaderCache` (one
+    budget, one eviction policy across datasets, the coviar shim and
+    serving).  Returns a non-closing context manager: the cache owns the
+    reader's lifetime, so repeated `predict_video` calls on one path reuse
+    the demux instead of re-parsing the file per call."""
+    import contextlib
+    return contextlib.nullcontext(shared_reader_cache().get(path))
 
 
 class DMCPredictor:
@@ -420,7 +430,7 @@ class DMCPredictor:
                     f"{path}: stream does not qualify for the device "
                     "back-trace path")
         mvs, ress, wts = [], [], []
-        with VideoReader(path) as reader:
+        with _cached_reader(path) as reader:
             by_gop = (self._segment_picks(reader, segments)
                       if segments else None)
             gops = sorted(by_gop) if segments else range(reader.num_gops)
@@ -479,7 +489,7 @@ class DMCPredictor:
         from dmcnet_tpu.ops.pallas_backtrace import cell_mv_from_blocks
 
         cms, gop_data, picks, counts, weights = [], [], [], [], []
-        with VideoReader(path) as reader:
+        with _cached_reader(path) as reader:
             h, w = reader.height, reader.width
             by_gop = (self._segment_picks(reader, segments)
                       if segments else None)
