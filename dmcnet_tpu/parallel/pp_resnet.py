@@ -10,11 +10,15 @@ the homogeneous pipeline cannot express):
     2 stages: [stem + layer1 + layer2] [layer3 + layer4 + head]
 
 Eval-mode inference (BN running statistics): the dmcnet test protocol's
-scoring forward (cli/test.py --pp).  The schedule itself is differentiable,
-so the same construction trains; the CLI exposes the inference path, which
-is where a 25-segment x 10-crop eval batch actually benefits from stage
-parallelism.  No reference analogue exists (its only parallelism is
-whole-model DataParallel, code/dmcnet/train.py:117).
+scoring forward (cli/test.py --pp).  The same construction TRAINS —
+jax.grad through the hetero schedule on this real parameter tree equals
+the serial grads leaf-for-leaf, and an SGD step on the stacked parameter
+plane tracks the serially-trained model (tested for both splits in
+tests/test_pipeline_parallel.py::test_hetero_pipeline_resnet18_grads_
+match_serial).  The CLI exposes the inference path, which is where a
+25-segment x 10-crop eval batch actually benefits from stage parallelism.
+No reference analogue exists (its only parallelism is whole-model
+DataParallel, code/dmcnet/train.py:117).
 """
 
 from __future__ import annotations

@@ -632,9 +632,14 @@ class DMCPredictor:
         fault-tolerance stance of the reference pipelines (zero-fill in
         dmcnet dataset.py:191-193, retry/backup in I3D video_iterator).
 
-        Returns a list of score vectors aligned with `paths`.  Videos that
-        disqualify from the device path (see predict_video) fall back to
-        the host-accumulate path individually."""
+        Returns a list of score vectors aligned with `paths` — duplicate
+        paths are gathered and scored ONCE and the score fans out to every
+        position (later positions get a fresh copy, so callers that weight
+        scores in place never alias).  Videos that disqualify from the
+        device path (see predict_video) fall back to the host-accumulate
+        path individually."""
+        order = list(paths)
+        paths = list(dict.fromkeys(order))
         results = {}
         per_video = {}   # path -> [(logit rows, weight rows), ...]
         pending = {}     # (h, w) -> buffered flat GOP rows
@@ -740,4 +745,9 @@ class DMCPredictor:
             lg = np.concatenate([r for r, _ in rows])
             wt = np.concatenate([w_ for _, w_ in rows])
             results[p] = (lg * wt[:, None]).sum(axis=0) / wt.sum()
-        return [results[p] for p in paths]
+        seen = set()
+        out = []
+        for p in order:
+            out.append(np.array(results[p]) if p in seen else results[p])
+            seen.add(p)
+        return out

@@ -234,6 +234,67 @@ def test_on_error_zero_reraises_infra_errors(tmp_path, monkeypatch):
         pred.predict_videos([bad], chunk_gops=4, on_error="zero")
 
 
+def test_predict_videos_duplicate_paths(tmp_path):
+    """The same path repeated in one predict_videos call: every position
+    gets the correct score (gathered/scored once, fanned out), positions
+    never alias (in-place weighting of one must not touch the other), and
+    the scores equal the unduplicated run."""
+    from tests.test_serving import _make_predictor
+
+    a = str(tmp_path / "a.avi")
+    b = str(tmp_path / "b.avi")
+    _encode_panning(a, np.random.default_rng(130), n=14)
+    _encode_panning(b, np.random.default_rng(131), n=14)
+    pred = _make_predictor()
+
+    solo = pred.predict_videos([a, b], chunk_gops=4)
+    dup = pred.predict_videos([a, b, a, a, b], chunk_gops=4)
+    want = [solo[0], solo[1], solo[0], solo[0], solo[1]]
+    for got, w in zip(dup, want):
+        np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
+    # positions never alias: scaling one occurrence leaves the others
+    dup[2] *= 0.0
+    assert np.any(dup[0] != 0) and np.any(dup[3] != 0)
+
+
+def test_serve_cli_stdin_interleaved_duplicates(tmp_path, monkeypatch,
+                                                capsys):
+    """Daemon mode with interleaved requests including the same path twice
+    (and as a duplicate within a single line of traffic): each request gets
+    its own result line, ids preserved, duplicate requests agree."""
+    import io
+    import json
+    import sys as _sys
+
+    from dmcnet_tpu.cli import serve
+
+    v0 = str(tmp_path / "v0.avi")
+    v1 = str(tmp_path / "v1.avi")
+    _encode_panning(v0, np.random.default_rng(140), n=14)
+    _encode_panning(v1, np.random.default_rng(141), n=14)
+    ckpt = _save_tiny_checkpoint(tmp_path)
+
+    requests = "\n".join([
+        v0,
+        json.dumps({"path": v1, "id": "first-v1"}),
+        json.dumps({"path": v0, "id": "again-v0"}),
+        v1,
+    ]) + "\n"
+    monkeypatch.setattr(_sys, "stdin", io.StringIO(requests))
+    serve.main(["--weights", ckpt, "--num-class", "5",
+                "--input_size", "64", "--frames-per-gop", "2",
+                "--chunk-gops", "8", "--stdin"])
+    lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 4
+    assert all("pred" in l for l in lines)
+    assert lines[2]["id"] == "again-v0"
+    # duplicate requests for the same video agree with each other
+    assert lines[0]["pred"] == lines[2]["pred"]
+    assert np.isclose(lines[0]["score"], lines[2]["score"], rtol=1e-5)
+    assert lines[1]["pred"] == lines[3]["pred"]
+
+
 def test_serve_cli_mesh_devices(tmp_path):
     """--mesh-devices shards GOP batches over the virtual 8-device mesh;
     scores match the single-device run."""

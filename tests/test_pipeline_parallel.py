@@ -205,6 +205,71 @@ def test_hetero_pipeline_resnet18_pp_x_dp():
                                rtol=2e-4, atol=2e-5)
 
 
+def _hetero_grads_vs_serial(n_stages, n_devices, seed, lr=None):
+    """jax.grad THROUGH make_hetero_pipeline_apply on the real ResNet-18
+    parameter tree == serial grads, per leaf; optionally follow with one
+    SGD step and check the updated pipeline forward == the updated serial
+    forward (pipeline-parallel training on a real heterogeneous model)."""
+    from dmcnet_tpu.parallel import make_stage_mesh
+    from dmcnet_tpu.parallel.pipeline import (flatten_tree,
+                                              make_hetero_pipeline_apply)
+    from dmcnet_tpu.parallel.pp_resnet import resnet18_stage_split
+
+    model, variables = _small_resnet_variables()
+    mesh = make_stage_mesh(jax.devices()[:n_devices])
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(8, 64, 64, 2)), jnp.float32)
+    tgt = jnp.asarray(rng.normal(size=(8, 5)), jnp.float32)
+
+    fns, svars = resnet18_stage_split(variables, 5, n_stages=n_stages)
+    run, stacked = make_hetero_pipeline_apply(fns, svars, mesh, jit=False)
+
+    def pipe_loss(vec):
+        return jnp.mean((run(vec, x) - tgt) ** 2)
+
+    def serial_loss(v):
+        return jnp.mean((model.apply(v, x, train=False) - tgt) ** 2)
+
+    g_vec = jax.jit(jax.grad(pipe_loss))(stacked)
+    g_serial = jax.grad(serial_loss)(variables)
+
+    # unflatten each stage's grad slice back to its variable tree and
+    # compare leaf-by-leaf against the serial grads (params AND the
+    # batch_stats constants, which get real gradients in eval mode)
+    g_np = np.asarray(g_vec)
+    for i, sv in enumerate(svars):
+        vec_i, unflat = flatten_tree(sv)
+        g_tree = unflat(jnp.asarray(g_np[i, :vec_i.shape[0]]))
+        for coll, mods in g_tree.items():
+            for mod, sub in mods.items():
+                want = jax.tree.map(np.asarray, g_serial[coll][mod])
+                got = jax.tree.map(np.asarray, sub)
+                for w, g in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+                    np.testing.assert_allclose(g, w, rtol=5e-3, atol=2e-5)
+
+    if lr is not None:
+        # one SGD step on the stacked parameter plane vs the serial tree:
+        # the trained pipeline forward must equal the trained serial model
+        stacked2 = stacked - lr * g_vec
+        v2 = jax.tree.map(lambda p, g: p - lr * g, variables, g_serial)
+        np.testing.assert_allclose(
+            np.asarray(run(stacked2, x)),
+            np.asarray(model.apply(v2, x, train=False)),
+            rtol=2e-4, atol=5e-5)
+
+
+def test_hetero_pipeline_resnet18_grads_match_serial():
+    """Pipeline-parallel TRAINING on the real model: grads through the
+    4-stage hetero schedule == serial grads, and one optimizer step keeps
+    the pipeline == the serially-trained model."""
+    _hetero_grads_vs_serial(n_stages=4, n_devices=4, seed=7, lr=0.05)
+
+
+def test_hetero_pipeline_two_stage_grads_match_serial():
+    """Same for the 2-stage split ([stem+l1+l2] [l3+l4+head])."""
+    _hetero_grads_vs_serial(n_stages=2, n_devices=2, seed=8)
+
+
 def test_hetero_pipeline_two_stage_split():
     """The 2-stage split ([stem+l1+l2] [l3+l4+head]) on a 2-device mesh,
     with more microbatches than stages (m=4)."""
