@@ -21,3 +21,22 @@ Layers (bottom-up):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("DMCNET_JAX_PLATFORM"):
+    # Dedicated escape hatch for SUBPROCESS drivers (e.g. the parity
+    # harness, examples/parity/run.sh, spawning `python -m
+    # dmcnet_tpu.cli.test` on CPU): the axon TPU wrapper pins
+    # JAX_PLATFORMS=axon at interpreter start and a plain env override is
+    # ignored, so the platform must be re-asserted through jax.config
+    # BEFORE backend init.  A dedicated variable (not JAX_PLATFORMS) so
+    # in-process test runs, whose conftest already selected a platform,
+    # are never re-pinned by importing this package.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms",
+                           _os.environ["DMCNET_JAX_PLATFORM"])
+    except Exception:  # backend already initialized — leave it be
+        pass

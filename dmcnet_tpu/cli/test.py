@@ -75,6 +75,14 @@ def build_parser():
                         help='space-to-depth factor for the dense DMC '
                              'estimators (exact reparameterization; same '
                              'checkpoints as the unpacked layout)')
+    parser.add_argument('--plain', type=int, default=0,
+                        help='plain CoViAR scoring: the backbone '
+                             'classifies the modality input directly (no '
+                             'DMC generator) — loads CoViAR-trained TSN '
+                             '.pth.tar checkpoints (3-channel iframe / '
+                             '2-channel mv / 3-channel residual conv1), '
+                             'which the reference test.py cannot '
+                             '(models/tsn.py PlainTSN)')
     return parser
 
 
@@ -100,15 +108,22 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     num_class = num_classes_for(args.data_name)
 
-    net = DMCNet(
-        num_class=num_class, num_segments=args.test_segments,
-        representation=args.representation, arch=args.arch,
-        new_length=args.new_length,
-        gen_flow_or_delta=args.gen_flow_or_delta,
-        gen_flow_ds_factor=args.gen_flow_ds_factor,
-        arch_estimator=args.arch_estimator, arch_d=args.arch_d,
-        att=args.att, detach_classifier=args.arch_d is None,
-        packed_gen=args.packed_gen)
+    if args.plain:
+        from dmcnet_tpu.models import PlainTSN
+        if args.arch_d or args.att or args.viz:
+            raise SystemExit("--plain scores the bare TSN backbone (no "
+                             "generator / discriminator / --viz)")
+        net = PlainTSN(num_class=num_class, arch=args.arch)
+    else:
+        net = DMCNet(
+            num_class=num_class, num_segments=args.test_segments,
+            representation=args.representation, arch=args.arch,
+            new_length=args.new_length,
+            gen_flow_or_delta=args.gen_flow_or_delta,
+            gen_flow_ds_factor=args.gen_flow_ds_factor,
+            arch_estimator=args.arch_estimator, arch_d=args.arch_d,
+            att=args.att, detach_classifier=args.arch_d is None,
+            packed_gen=args.packed_gen)
 
     ds = CoviarDataset(
         data_root=args.data_root, flow_root=args.flow_root,
@@ -127,9 +142,20 @@ def main(argv=None):
                                 flow_ds_factor=args.flow_ds_factor,
                                 upsample_interp=args.upsample_interp,
                                 input_size=args.input_size)
-    state, _ = create_train_state(net, jax.random.key(0), sample,
-                                  lr_cls_mult=0.01, lr_mse_mult=0.01,
-                                  lr_d_mult=0.01 if args.arch_d else None)
+    # normalize_group slot carrying the modality: iframe rides in 'mv'
+    # (the reference reuses the variable, dataset.py:204-211)
+    plain_key = "residual" if args.representation == "residual" else "mv"
+    if args.plain:
+        from dmcnet_tpu.train.engine import TrainState
+        variables = net.init(jax.random.key(0), sample[plain_key],
+                             train=False)
+        state = TrainState(params=variables["params"],
+                           batch_stats=variables.get("batch_stats", {}),
+                           opt_cls=None, opt_gf=None)
+    else:
+        state, _ = create_train_state(
+            net, jax.random.key(0), sample, lr_cls_mult=0.01,
+            lr_mse_mult=0.01, lr_d_mult=0.01 if args.arch_d else None)
     if args.weights:
         import os
         if os.path.isdir(args.weights):
@@ -179,11 +205,19 @@ def main(argv=None):
              "batch_stats": state.batch_stats["base_model"]},
             num_class, mesh_pp, n_microbatches=args.pp)
 
-        @jax.jit
-        def gen_flow_fn(batch):
-            return net.apply(
-                {"params": state.params, "batch_stats": state.batch_stats},
-                batch["mv"], batch["residual"], False, method="generate")
+        if args.plain:
+            # no generator: the pipeline's input IS the modality clip
+            def gen_flow_fn(batch):
+                x = batch[plain_key]
+                return x.reshape((-1,) + x.shape[-3:])
+        else:
+            @jax.jit
+            def gen_flow_fn(batch):
+                return net.apply(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats},
+                    batch["mv"], batch["residual"], False,
+                    method="generate")
 
         def forward_video(batch):
             gen = gen_flow_fn(batch)
@@ -193,6 +227,13 @@ def main(argv=None):
                 # indices so even n < pad (tiny --test_segments) pads fully
                 gen = jnp.take(gen, jnp.arange(n + pad) % n, axis=0)
             logits = pp_classify(gen)[:n]
+            return segment_consensus(logits, total_seg), None, None
+    elif args.plain:
+        @jax.jit
+        def forward_video(batch):
+            logits = net.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                batch[plain_key], train=False)
             return segment_consensus(logits, total_seg), None, None
     else:
         @jax.jit

@@ -297,8 +297,13 @@ class BatchAssembler:
     def _pad(self, stacks, sizes):
         hp = self.pad_hw[0] if self.pad_hw else max(s[0] for s in sizes)
         wp = self.pad_hw[1] if self.pad_hw else max(s[1] for s in sizes)
-        out = np.zeros((len(stacks),) + stacks[0].shape[:1] + (hp, wp, 7),
-                       np.uint8)
+        # channel count follows the representation: 7 for mv/residual
+        # (flow2 + mv2 + residual3), 8 for iframe (flow2 + RGB3 +
+        # residual3 — the reference's 7-channel split is the broken
+        # stacking documented as PARITY divergence #4; we keep the
+        # intended per-modality layout)
+        out = np.zeros((len(stacks),) + stacks[0].shape[:1]
+                       + (hp, wp, stacks[0].shape[-1]), np.uint8)
         for i, st in enumerate(stacks):
             out[i, :, :st.shape[1], :st.shape[2]] = st
         return out

@@ -24,4 +24,4 @@ from dmcnet_tpu.models.discriminators import (
     make_discriminator,
 )
 from dmcnet_tpu.models.resnet import ResNet, resnet18
-from dmcnet_tpu.models.tsn import DMCNet, segment_consensus
+from dmcnet_tpu.models.tsn import DMCNet, PlainTSN, segment_consensus

@@ -56,6 +56,31 @@ def segment_consensus(logits, num_segments):
         logits.reshape((-1, num_segments) + logits.shape[1:]), axis=1)
 
 
+class PlainTSN(nn.Module):
+    """Plain CoViAR-style TSN: the backbone classifies the modality input
+    DIRECTLY (no DMC generator).
+
+    The reference dmc-net repo has no such scorer — its released
+    iframe/mv/residual score artifacts (exp_my/hmdb51_coviar) come from
+    CoViAR-trained TSN models, and its own test.py routes every
+    representation through the generator (test.py:72-78), which cannot
+    load a 3-channel CoViAR iframe checkpoint.  This module closes that
+    gap: `cli/test.py --plain 1` scores the plain modalities with the same
+    25-seg/10-crop protocol, and `base_model.*` checkpoint keys line up
+    with the reference `.pth.tar` layout (import/export round-trips)."""
+
+    num_class: int
+    arch: str = "resnet18"
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.base_model = _make_backbone(self.arch, self.num_class,
+                                         dtype=self.dtype)
+
+    def __call__(self, x, train=True):
+        return self.base_model(_flatten_segments(x), train=train)
+
+
 class DMCNet(nn.Module):
     """Full DMC-Net model; `__call__` mirrors reference `Model.forward`."""
 

@@ -28,15 +28,30 @@ SPLIT="${SPLIT:-1}"
 OUT="${OUT:-./parity_out}"
 mkdir -p "$OUT"
 
-assert_acc() {  # $1 = combine output log, $2 = expected %, $3 = tag
+# EXPECT_FULL parameterizes the FULL-mode assertion: the real dataset +
+# released checkpoints assert the shipped 64.05; a synthetic stand-in run
+# (tests/test_parity_full.py) sets EXPECT_FULL=any to assert only that the
+# whole pipeline completed and a fused accuracy was computed.
+EXPECT_FULL="${EXPECT_FULL:-64.05}"
+# TEST_FLAGS (default empty) is appended to each cli.test call — argparse
+# last-wins, so synthetic CI can shrink input_size/segments without
+# changing the real-data command lines.
+TEST_FLAGS="${TEST_FLAGS:-}"
+
+assert_acc() {  # $1 = combine output log, $2 = expected % (or "any"), $3 = tag
   python - "$1" "$2" "$3" <<'EOF'
 import re, sys
-log, want, tag = open(sys.argv[1]).read(), float(sys.argv[2]), sys.argv[3]
+log, want, tag = open(sys.argv[1]).read(), sys.argv[2], sys.argv[3]
 accs = [float(m) for m in re.findall(r"Accuracy: ([0-9.]+)", log)]
 assert accs, f"{tag}: no accuracy line in combine output:\n{log}"
 got = accs[-1] * 100.0
-assert abs(got - want) < 0.05, f"{tag}: got {got:.2f}%, want {want}%"
-print(f"PARITY OK [{tag}]: {got:.2f}% == {want}%")
+if want == "any":
+    print(f"PARITY OK [{tag}]: pipeline completed, fused accuracy "
+          f"{got:.2f}% computed (synthetic stand-in)")
+else:
+    want = float(want)
+    assert abs(got - want) < 0.05, f"{tag}: got {got:.2f}%, want {want}%"
+    print(f"PARITY OK [{tag}]: {got:.2f}% == {want}%")
 EOF
 }
 
@@ -78,14 +93,19 @@ for f in iframe mv residual dmc_gan; do
   [ -f "$CKPTS/$f.pth.tar" ] || { echo "SKIP: missing $CKPTS/$f.pth.tar"; exit 0; }
 done
 
-# 25-segment / 10-crop protocol per modality (reference test.py defaults)
+# 25-segment / 10-crop protocol per modality (reference test.py defaults).
+# --plain 1: CoViAR-trained TSN checkpoints classify the modality directly
+# (the released iframe/mv/residual models are plain TSNs from the CoViAR
+# repo — reference README.md "Training DMC-Net requires CoViAR models";
+# the reference's own test.py cannot score them, cli/test.py --plain can).
 for rep in iframe mv residual; do
   python -m dmcnet_tpu.cli.test \
     --data-name hmdb51 --representation "$rep" --arch resnet18 \
+    --plain 1 --mv_minmaxnorm 1 \
     --data-root "$DATA_ROOT" --test-list "$TEST_LIST" \
     --weights "$CKPTS/$rep.pth.tar" \
     --test_segments 25 --test-crops 10 \
-    --save-scores "$OUT/${rep}_score.npz"
+    --save-scores "$OUT/${rep}_score.npz" $TEST_FLAGS
 done
 # DMC stream: the GAN recipe's eval flags (examples/hmdb51_gan/run.sh)
 python -m dmcnet_tpu.cli.test \
@@ -95,12 +115,12 @@ python -m dmcnet_tpu.cli.test \
   --data-root "$DATA_ROOT" --test-list "$TEST_LIST" \
   --weights "$CKPTS/dmc_gan.pth.tar" \
   --test_segments 25 --test-crops 10 \
-  --save-scores "$OUT/dmc_score.npz"
+  --save-scores "$OUT/dmc_score.npz" $TEST_FLAGS
 
 python -m dmcnet_tpu.cli.combine \
   --iframe "$OUT/iframe_score.npz" --mv "$OUT/mv_score.npz" \
   --res "$OUT/residual_score.npz" --flow "$OUT/dmc_score.npz" \
   | tee "$OUT/full.log"
 if [ "$SPLIT" = 1 ]; then
-  assert_acc "$OUT/full.log" 64.05 "full pipeline split1"
+  assert_acc "$OUT/full.log" "$EXPECT_FULL" "full pipeline split1"
 fi

@@ -88,6 +88,28 @@ def test_train_test_combine(corpus, tmp_path, monkeypatch):
     assert n == NVID and 0.0 <= fused_acc <= 1.0
 
 
+def test_test_cli_plain_iframe(corpus, tmp_path, monkeypatch):
+    """--plain CoViAR scoring of the iframe modality: the bare TSN
+    classifies the RGB iframe directly (no generator) — also the first
+    path to exercise the 8-channel iframe batch layout (flow2+RGB3+res3,
+    PARITY divergence #4's intended stacking)."""
+    from dmcnet_tpu.cli import test as test_cli
+
+    monkeypatch.chdir(tmp_path)
+    score_file = str(tmp_path / "iframe_score")
+    acc = test_cli.main([
+        "--data-name", "hmdb51", "--data-root", corpus["data_root"],
+        "--representation", "iframe", "--arch", "resnet18", "--plain", "1",
+        "--test-list", corpus["list"], "--test_segments", "3",
+        "--test-crops", "1", "--input_size", "64",
+        "--save-scores", score_file,
+    ])
+    assert 0.0 <= acc <= 1.0
+    with np.load(score_file + ".npz", allow_pickle=True) as data:
+        assert len(data["scores"]) == NVID
+        assert data["scores"][0][0].shape == (1, 51)
+
+
 def test_train_orbax_async_resume(corpus, tmp_path, monkeypatch):
     """--ckpt-backend orbax-async: epoch-end saves overlap training and are
     drained at exit; a second invocation --resumes from the orbax directory
