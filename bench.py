@@ -22,7 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=256, steps=40, warmup=5, hw=224, windows=3):
+def build_packed_forward(batch=256, hw=224):
+    """(forward, (mv, res)) for the packed serving path — shared by the
+    timing loop and tools/mfu.py's FLOPs accounting."""
     from dmcnet_tpu.models import make_estimator, resnet18
     from dmcnet_tpu.ops.packed_generator import (
         PackedDenseEstimator,
@@ -52,6 +54,12 @@ def main(batch=256, steps=40, warmup=5, hw=224, windows=3):
     def forward(mv, res):
         x = jnp.concatenate([mv, res], axis=-1)
         return packed_cls(packed_gen(x))
+
+    return forward, (mv, res)
+
+
+def main(batch=256, steps=40, warmup=5, hw=224, windows=3):
+    forward, (mv, res) = build_packed_forward(batch, hw)
 
     for _ in range(warmup):
         out = forward(mv, res)

@@ -16,7 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(batch=32, segments=3, hw=224, steps=40, warmup=5, dtype=None):
+def build(batch=32, segments=3, hw=224, dtype=None):
+    """(d_step, g_step, state, bd, args) — shared by the timing loop and
+    tools/mfu.py (FLOPs must be counted on the exact timed computation)."""
     from dmcnet_tpu.models import DMCNet
     from dmcnet_tpu.train.engine import create_train_state
     from dmcnet_tpu.train.engine_gan import make_gan_train_steps
@@ -44,6 +46,11 @@ def measure(batch=32, segments=3, hw=224, steps=40, warmup=5, dtype=None):
     # fn(state, batch, rng, lr, lr_cls, lr_d, wd)
     args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-3),
             jnp.float32(1e-3), jnp.float32(1e-4))
+    return d_step, g_step, state, bd, args
+
+
+def measure(batch=32, segments=3, hw=224, steps=40, warmup=5, dtype=None):
+    d_step, g_step, state, bd, args = build(batch, segments, hw, dtype)
 
     def window(state, n):
         t0 = time.perf_counter()

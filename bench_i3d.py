@@ -16,9 +16,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
-            iter_size=1, stop_gradient=False, packed=0, train_backbone=True,
-            remat=False):
+def build(batch=4, t=16, hw=224, dtype=None, iter_size=1,
+          stop_gradient=False, packed=0, train_backbone=True, remat=False):
+    """(g_step, state, bd, args) — shared by the timing loop and
+    tools/mfu.py (FLOPs must be counted on the exact timed computation)."""
     from dmcnet_tpu.models.i3d import I3D, init_i3d_variables
     from dmcnet_tpu.train.engine import TrainState
     from dmcnet_tpu.train.engine_i3d import (
@@ -53,6 +54,15 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
     }
     args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-3),
             jnp.float32(0.0), jnp.float32(1e-4), jnp.asarray(False))
+    return g_step, state, bd, args
+
+
+def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
+            iter_size=1, stop_gradient=False, packed=0, train_backbone=True,
+            remat=False):
+    g_step, state, bd, args = build(batch, t, hw, dtype, iter_size,
+                                    stop_gradient, packed, train_backbone,
+                                    remat)
 
     def window(state, n):
         t0 = time.perf_counter()

@@ -18,7 +18,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(batch=32, segments=3, hw=224, steps=50, warmup=5, dtype=None):
+def build(batch=32, segments=3, hw=224, dtype=None):
+    """(step, state, batch_d, args) for the flagship train step — shared
+    by the timing loop below and tools/mfu.py's FLOPs accounting (the MFU
+    table must analyze EXACTLY the computation that was timed)."""
     from dmcnet_tpu.models import DMCNet
     from dmcnet_tpu.train.engine import create_train_state, make_train_step
 
@@ -42,6 +45,11 @@ def measure(batch=32, segments=3, hw=224, steps=50, warmup=5, dtype=None):
                            lr_cls_w=1.0, lr_mse_w=1.0)
     args = (jax.random.key(1), jnp.float32(1e-3), jnp.float32(1e-4),
             jnp.asarray(True))
+    return step, state, batch_d, args
+
+
+def measure(batch=32, segments=3, hw=224, steps=50, warmup=5, dtype=None):
+    step, state, batch_d, args = build(batch, segments, hw, dtype)
 
     # Long windows ended by a real VALUE fetch: over the TPU tunnel,
     # block_until_ready alone can return before the queued chain finishes,
