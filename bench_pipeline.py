@@ -20,7 +20,7 @@ import numpy as np
 
 
 def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224,
-            gen_s=2):
+            gen_s=2, fold_norm=False):
     from dmcnet_tpu.codec.synthetic import dense_mv_maps, synthetic_gop
     from dmcnet_tpu.models import make_estimator, resnet18
     from dmcnet_tpu.ops.packed_generator import PackedDenseEstimator, repack
@@ -56,15 +56,27 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224,
     # gen_s=4 runs the generator on a 4x4 space-to-depth grid (fewer,
     # wider convs) and repacks its s=4 output into the s=2 stem layout
     # (ops/packed_generator.repack, exact)
+    mean_std = 0.2261  # (x-0.5)/mean(ImageNet std), dataset.py:260-262
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    # fold_norm absorbs the whole normalize affine (mv minmaxnorm scale +
+    # the +0.5/255/std chain) into the generator weights (input_affine),
+    # so the jitted pipeline feeds RAW integer mv/res straight to the
+    # packed conv stack (|mv| <= 144 and |res| <= 255 are exact in bf16)
+    affine = None
+    if fold_norm:
+        a_mv = (127.5 / 20.0) / (255.0 * mean_std)
+        b_mv = 0.5 / (255.0 * mean_std)
+        affine = (np.concatenate([[a_mv, a_mv], 1.0 / (255.0 * std)]),
+                  np.concatenate([[b_mv, b_mv], 0.5 / (255.0 * std)]))
     packed_gen = PackedDenseEstimator(gen_vars["params"], s=gen_s,
-                                      packed_output=True, fuse_mv_delta=True)
+                                      packed_output=True, fuse_mv_delta=True,
+                                      input_affine=affine)
     cls = resnet18(num_classes=51)
     cls_vars = cls.init(jax.random.key(1),
                         jnp.zeros((1, crop, crop, 2), jnp.float32),
                         train=False)
     packed_cls = PackedResNet18(cls_vars, dtype=jnp.bfloat16)
 
-    mean_std = 0.2261  # (x-0.5)/mean(ImageNet std), dataset.py:260-262
     y0 = (height - crop) // 2
     x0 = (width - crop) // 2
 
@@ -85,11 +97,16 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224,
             jnp.transpose(warped[:, 1:], (0, 1, 3, 4, 2))
         mv = mv[:, :, y0:y0 + crop, x0:x0 + crop]
         res = res[:, :, y0:y0 + crop, x0:x0 + crop]
-        # mv_minmaxnorm(20) + +128 + /255 + (x-.5)/std, constants folded
-        mv_n = ((mv.astype(jnp.float32) * (127.5 / 20.0) + 0.5)
-                / (255.0 * mean_std)).astype(jnp.bfloat16)
-        res_n = (((res.astype(jnp.float32) + 0.5) / 255.0)
-                 / jnp.asarray([0.229, 0.224, 0.225])).astype(jnp.bfloat16)
+        if fold_norm:
+            # normalize lives in the generator weights; feed raw ints
+            mv_n = mv.astype(jnp.bfloat16)
+            res_n = res.astype(jnp.bfloat16)
+        else:
+            # mv_minmaxnorm(20) + +128 + /255 + (x-.5)/std, constants folded
+            mv_n = ((mv.astype(jnp.float32) * (127.5 / 20.0) + 0.5)
+                    / (255.0 * mean_std)).astype(jnp.bfloat16)
+            res_n = (((res.astype(jnp.float32) + 0.5) / 255.0)
+                     / (jnp.asarray(std))).astype(jnp.bfloat16)
         n_clips = n_gops * (gop_len - 1)
         mv_c = mv_n.reshape((n_clips, crop, crop, 2))
         res_c = res_n.reshape((n_clips, crop, crop, 3))
@@ -123,7 +140,10 @@ def main():
     import sys
 
     gen_s = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    print(json.dumps(measure(gen_s=gen_s)))
+    out = measure(gen_s=gen_s)
+    folded = measure(gen_s=gen_s, fold_norm=True)
+    out["fold_norm_clips_per_sec"] = folded["value"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

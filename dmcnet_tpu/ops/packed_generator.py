@@ -228,7 +228,7 @@ class PackedDenseEstimator:
 
     def __init__(self, params, widths=(8, 8, 6, 4, 2), ch_in=5, s=2,
                  dtype=jnp.bfloat16, packed_output=False,
-                 fuse_mv_delta=False):
+                 fuse_mv_delta=False, input_affine=None):
         self.s = s
         self.ch_in = ch_in
         # packed_output=True keeps the result in the space-to-depth layout
@@ -236,7 +236,25 @@ class PackedDenseEstimator:
         # consumer (ops/packed_resnet.py stem) can run without the
         # depth_to_space/space_to_depth round-trip.
         self.packed_output = packed_output
+        # input_affine=(scale, shift), each (ch_in,): the model was trained
+        # on `scale*x + shift` but will be CALLED with raw x — the serving
+        # normalize (mv minmaxnorm + /255 + mean/std, dataset.py:260-262)
+        # absorbed into the conv weights.  The raw input rides the dense
+        # concatenation into EVERY conv, so every layer's raw-segment rows
+        # are rescaled; the shift becomes a bias, EXCEPT that SAME zero-
+        # padding means border pixels see fewer raw taps than interior ones
+        # — so the shift is absorbed as a per-position bias PLANE (interior
+        # = full sum(w*shift), border ring = in-bounds taps only), computed
+        # per spatial shape at trace time and folded into the bias add the
+        # layer already performs.  Zero extra per-step ops; exact.
+        self.input_affine = input_affine
+        if input_affine is not None:
+            a_in = np.asarray(input_affine[0], np.float32)
+            b_in = np.asarray(input_affine[1], np.float32)
+            assert a_in.shape == b_in.shape == (ch_in,)
         self.weights = []
+        self._tap_shift = []   # per layer: S (3, 3, c_out) = sum_raw w*shift
+        self._corr_cache = {}  # (layer, H, W) -> jnp bias plane
         segments = [ch_in]
         names = [f"conv_{i}" for i in range(len(widths))] + ["predict_flow"]
         for i, name in enumerate(names):
@@ -247,19 +265,52 @@ class PackedDenseEstimator:
                 # gen_flow_or_delta=1 (+mv, reference model.py:345-346)
                 # fused as an identity tap: predict_flow's input concat ends
                 # with the original 5-ch input whose channels 0:2 are mv.
+                # With input_affine the tap is folded like any other raw-row
+                # weight below, so the output still adds the NORMALIZED mv.
                 for p in range(s * s):
                     for c in range(2):
                         wp[1, 1, _packed_index(segments, s, p, c
                                                + sum(segments[:-1])),
                            p * 2 + c] += 1.0
+            if input_affine is not None:
+                c_in = sum(segments)
+                off = (c_in - ch_in) * s * s  # raw segment is always last
+                tap_s = np.zeros((3, 3, wp.shape[-1]), np.float32)
+                for p in range(s * s):
+                    for ci in range(ch_in):
+                        row = off + p * ch_in + ci
+                        tap_s += wp[:, :, row, :] * b_in[ci]
+                        wp[:, :, row, :] *= a_in[ci]
+                self._tap_shift.append(tap_s)
             self.weights.append((jnp.asarray(wp, dtype),
                                  jnp.asarray(bp, dtype)))
             if i < len(widths):
                 segments = [widths[i]] + segments
         self.dtype = dtype
 
+    def _bias_plane(self, i, bp, hh, ww):
+        """(hh, ww, c_out) bias for affine mode: layer bias + the absorbed
+        input shift, with border positions crediting in-bounds taps only."""
+        key = (i, hh, ww)
+        if key not in self._corr_cache:
+            tap_s = self._tap_shift[i]
+            corr = np.broadcast_to(
+                np.asarray(bp, np.float32), (hh, ww, tap_s.shape[-1])).copy()
+            for dy in range(3):
+                for dx in range(3):
+                    y0, y1 = max(0, 1 - dy), min(hh, hh + 1 - dy)
+                    x0, x1 = max(0, 1 - dx), min(ww, ww + 1 - dx)
+                    corr[y0:y1, x0:x1] += tap_s[dy, dx]
+            # cache NUMPY: a jnp array materialized inside a jit trace is a
+            # tracer, and caching it across traces leaks (UnexpectedTracer)
+            self._corr_cache[key] = corr
+        return self._corr_cache[key]
+
     def __call__(self, x):
-        """x: (B, H, W, ch_in) with H, W divisible by s -> (B, H, W, 2)."""
+        """x: (B, H, W, ch_in) with H, W divisible by s -> (B, H, W, 2).
+
+        With input_affine, x is the RAW (un-normalized) tensor.
+        """
         s = self.s
         h = space_to_depth(x.astype(self.dtype), s)
         n = len(self.weights)
@@ -268,7 +319,11 @@ class PackedDenseEstimator:
                 h, wp, (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.float32)
-            y = (y + bp.astype(jnp.float32)).astype(self.dtype)
+            if self.input_affine is not None:
+                y = (y + self._bias_plane(i, bp, *y.shape[1:3])).astype(
+                    self.dtype)
+            else:
+                y = (y + bp.astype(jnp.float32)).astype(self.dtype)
             if i < n - 1:
                 y = jnp.where(y > 0, y, 0.1 * y)  # LeakyReLU(0.1)
                 h = jnp.concatenate([y, h], axis=-1)

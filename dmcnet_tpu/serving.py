@@ -59,10 +59,22 @@ class DMCPredictor:
                       "DenseNetSmall": (32, 32, 24, 16, 8),
                       "DenseNetTiny": (8, 8, 6, 4, 2)}[arch_estimator]
             full = arch == "resnet18"
+            # fully packed path: the u8 normalize (x/255 - 0.5)/std is a
+            # per-channel affine — folded into the conv weights
+            # (ops/packed_generator.py input_affine), so _forward_u8 feeds
+            # raw u8 (exact in bf16) with zero normalize ops on device
+            affine = None
+            if full:
+                a = np.concatenate([[1.0 / (255.0 * MEAN_STD)] * 2,
+                                    1.0 / (255.0 * IMAGENET_STD)])
+                b = np.concatenate([[-0.5 / MEAN_STD] * 2,
+                                    -0.5 / IMAGENET_STD])
+                affine = (a, b)
             self.packed = PackedDenseEstimator(
                 params["gen_flow_model"], widths=widths,
                 packed_output=full,
-                fuse_mv_delta=full and bool(gen_flow_or_delta))
+                fuse_mv_delta=full and bool(gen_flow_or_delta),
+                input_affine=affine)
             if arch == "resnet18":
                 # whole pipeline stays in the packed layout: 4x4 MXU-tile
                 # stem + folded inference BN (ops/packed_resnet.py)
@@ -138,13 +150,16 @@ class DMCPredictor:
         the training pipeline (dataset.py:251-263).  Shared by the
         host-accumulated path (`_classify`) and the device-backtrace GOP
         program (`_gop_program`)."""
+        if self.packed_cls is not None:
+            # fully packed: +mv already fused into the generator weights,
+            # and the u8 normalize folded into them too (input_affine) —
+            # feed raw u8 (integers < 256 are exact in bf16)
+            x = jnp.concatenate([mv, res], axis=-1).astype(jnp.bfloat16)
+            return self.packed_cls(self.packed(x))
         mv = (mv.astype(jnp.float32) / 255.0 - 0.5) / MEAN_STD
         res = (res.astype(jnp.float32) / 255.0 - 0.5) \
             / jnp.asarray(IMAGENET_STD)
         x = jnp.concatenate([mv, res], axis=-1)
-        if self.packed_cls is not None:
-            # fully packed: +mv already fused into the generator weights
-            return self.packed_cls(self.packed(x.astype(jnp.bfloat16)))
         if self.packed is not None:
             dmc = self.packed(x.astype(jnp.bfloat16)).astype(jnp.float32)
             dmc = dmc + mv if self.gen_flow_or_delta else dmc

@@ -119,6 +119,37 @@ def test_packed_small_family(rng):
     np.testing.assert_allclose(np.asarray(packed(x)), ref, atol=1e-4)
 
 
+@pytest.mark.parametrize("fuse", [False, True])
+def test_input_affine_folding(rng, fuse):
+    """input_affine absorbs the serving normalize into the conv weights:
+    folded(raw) == unfolded(scale*raw + shift) everywhere — including the
+    border ring, where SAME zero-padding means fewer raw taps carry the
+    shift (the per-position bias plane credits in-bounds taps only)."""
+    model = make_estimator("DenseNetTiny")
+    variables = model.init(jax.random.key(0),
+                           jnp.zeros((1, 16, 16, 5), jnp.float32))
+    raw = jnp.asarray(rng.integers(-128, 128, size=(2, 16, 16, 5)),
+                      jnp.float32)
+    scale = np.asarray([0.11, 0.11, 1 / 58.4, 1 / 57.1, 1 / 57.4],
+                       np.float32)
+    shift = np.asarray([0.0347, 0.0347, 0.0085, 0.0087, 0.0087], np.float32)
+    normed = raw * scale + shift
+
+    base = PackedDenseEstimator(variables["params"], s=2, dtype=jnp.float32,
+                                fuse_mv_delta=fuse)
+    folded = PackedDenseEstimator(variables["params"], s=2,
+                                  dtype=jnp.float32, fuse_mv_delta=fuse,
+                                  input_affine=(scale, shift))
+    ref = np.asarray(base(normed))
+    got = np.asarray(folded(raw))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+    # the border ring must match too (regression guard for the tap-count
+    # correction): compare it specifically at a tight tolerance
+    ring = np.ones(ref.shape[1:3], bool)
+    ring[1:-1, 1:-1] = False
+    np.testing.assert_allclose(got[:, ring], ref[:, ring], atol=2e-4)
+
+
 def test_repack_matches_s2d():
     """repack(s2d(x, 4), 4->2) == s2d(x, 2) exactly, for any channel
     count — the bridge from an s=4 generator into the s=2 stem."""

@@ -214,17 +214,23 @@ def test_predict_mesh_sharded_matches_single(tmp_path):
     pred_mesh = _make_predictor(mesh=make_mesh(),
                                 backtrace_impl=backtrace_warp_batch_xla)
 
+    # atol: the folded-normalize bias PLANE (ops/packed_generator.py
+    # input_affine) is a large spatial constant whose add changes XLA's
+    # fusion layout under pjit vs single-device, perturbing bf16 conv
+    # rounding by one half-ULP on O(1) logits (~8e-3); without the fold
+    # the two programs are bit-identical.  1e-2 still fails loudly on any
+    # real divergence (wrong shard math is orders of magnitude bigger).
     for p in paths:
         np.testing.assert_allclose(
             pred_mesh.predict_video(p, backend="host"),
-            pred.predict_video(p, backend="host"), atol=1e-4)
+            pred.predict_video(p, backend="host"), atol=1e-2)
     single = [pred.predict_video(p, backend="device") for p in paths]
     sharded = [pred_mesh.predict_video(p, backend="device")
                for p in paths]
     batched = pred_mesh.predict_videos(paths, chunk_gops=4)
     for a, b, c in zip(sharded, single, batched):
-        np.testing.assert_allclose(a, b, atol=1e-4)
-        np.testing.assert_allclose(c, b, atol=1e-4)
+        np.testing.assert_allclose(a, b, atol=1e-2)
+        np.testing.assert_allclose(c, b, atol=1e-2)
 
 
 def test_predict_videos_threaded_gather(tmp_path):
