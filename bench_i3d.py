@@ -132,6 +132,13 @@ def measure_reference_recipe():
             out[key] = measure(batch=3, t=64, steps=4, warmup=1, **kw)[
                 "value"]
         except Exception as exc:  # OOM at this shape is a result, not a bug
+            # ... but an infra failure (tunnel drop mid-compile) is NOT —
+            # recording it would mislabel a transient outage as "does not
+            # fit"; abort so the run is retried instead
+            msg = f"{type(exc).__name__}: {exc}"
+            if any(s in msg for s in ("UNAVAILABLE", "remote_compile",
+                                      "transport", "DEADLINE")):
+                raise
             out[key] = f"OOM/failed: {type(exc).__name__}"
 
     safe("recipe_clip64_b3_f32_samples_per_sec")
