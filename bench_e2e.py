@@ -60,24 +60,42 @@ def measure(n_videos=4, t=48, h=256, w=320):
     clips = gops * 3  # 3 sampled P-frames per GOP
 
     def run(backend):
+        """Best-of-2 passes over the 4 videos (tunnel timing is noisy;
+        single-shot windows produced the round-4 self-contradictory
+        record — see PERF_NOTES 'e2e serving')."""
         pred.predict_video(paths[0], backend=backend)  # compile + warm
-        t0 = time.perf_counter()
-        ref = None
-        for p in paths:
-            scores = pred.predict_video(p, frames_per_gop=3,
-                                        backend=backend)
-            assert np.isfinite(scores).all()
-            ref = scores
-        return time.perf_counter() - t0, ref
+
+        def once():
+            t0 = time.perf_counter()
+            ref = None
+            for p in paths:
+                scores = pred.predict_video(p, frames_per_gop=3,
+                                            backend=backend)
+                assert np.isfinite(scores).all()
+                ref = scores
+            return time.perf_counter() - t0, ref
+
+        d1, ref = once()
+        d2, ref = once()
+        return min(d1, d2), ref
 
     dt_host, s_host = run("host")
     try:
         dt_dev, s_dev = run("device")
-        pred.predict_videos(paths[:1], chunk_gops=16)  # compile + warm
-        t0 = time.perf_counter()
-        batched = pred.predict_videos(paths, frames_per_gop=3,
-                                      backend="device", chunk_gops=16)
-        dt_batched = time.perf_counter() - t0
+        # warm on the full path set: the 16 real GOPs dispatch as ONE
+        # full chunk, so the warm pass must hit the same g=16 program
+        # (a 1-video warm would only compile the g=4 tail bucket)
+        pred.predict_videos(paths, chunk_gops=16)
+
+        def once_batched():
+            t0 = time.perf_counter()
+            b = pred.predict_videos(paths, frames_per_gop=3,
+                                    backend="device", chunk_gops=16)
+            return time.perf_counter() - t0, b
+
+        d1, batched = once_batched()
+        d2, batched = once_batched()
+        dt_batched = min(d1, d2)
     except Exception:
         dt_dev = dt_batched = None  # disqualified or no Mosaic here
     if dt_dev is not None:
@@ -120,12 +138,17 @@ def measure(n_videos=4, t=48, h=256, w=320):
     # compile time as protocol speedup
     pred.predict_video(p_long, backend=backend, segments=25)
     pred.predict_video(p_long, backend=backend)
-    t0 = time.perf_counter()
-    s_seg = pred.predict_video(p_long, backend=backend, segments=25)
-    dt_seg = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    s_full = pred.predict_video(p_long, backend=backend)
-    dt_full = time.perf_counter() - t0
+    def timed(**kw):
+        best = None
+        for _ in range(2):  # best-of-2, same reason as run()
+            t0 = time.perf_counter()
+            s = pred.predict_video(p_long, backend=backend, **kw)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, s
+
+    dt_seg, s_seg = timed(segments=25)
+    dt_full, s_full = timed()
     assert np.isfinite(s_seg).all() and np.isfinite(s_full).all()
     out["long_video_full_scan_ms"] = round(dt_full * 1e3, 1)
     out["long_video_segments25_ms"] = round(dt_seg * 1e3, 1)

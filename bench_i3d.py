@@ -128,9 +128,9 @@ def measure_reference_recipe():
     out = {}
 
     def safe(key, **kw):
+        kw.setdefault("steps", 4)
         try:
-            out[key] = measure(batch=3, t=64, steps=4, warmup=1, **kw)[
-                "value"]
+            out[key] = measure(batch=3, t=64, warmup=1, **kw)["value"]
         except Exception as exc:  # OOM at this shape is a result, not a bug
             # ... but an infra failure (tunnel drop mid-compile) is NOT —
             # recording it would mislabel a transient outage as "does not

@@ -189,6 +189,21 @@ class DMCPredictor:
 
         return math.lcm(4, self.mesh.size) if self.mesh else 4
 
+    def _chunk_ladder(self, chunk_gops):
+        """Bucket ladder for right-sizing ragged tail chunks: power-of-2
+        multiples of `_gop_quant`, capped at `chunk_gops`.  A 4-GOP tail
+        under the default chunk_gops=64 used to ship a 64-row buffer —
+        16x the H2D bytes (~0.7 MB/GOP through the RPC tunnel) and 16x
+        the device rows for zero extra scores; the ladder bounds the
+        executable count at log2(chunk/quant) while wasting at most 2x
+        padding on any tail."""
+        sizes, g = [], self._gop_quant
+        while g < chunk_gops:
+            sizes.append(g)
+            g *= 2
+        sizes.append(chunk_gops)
+        return sizes
+
     @property
     def _clip_bucket(self):
         """Host-path clip-batch quantum: 16 (executable bucketing) lifted
@@ -343,22 +358,31 @@ class DMCPredictor:
         `predict_videos` argument.  `host_buckets` precompiles the
         host-fallback classifier at the given padded clip counts
         (`predict_video` buckets to 16).
+
+        The full `_chunk_ladder(chunk_gops)` is compiled per geometry
+        (ragged tail chunks dispatch at the smallest covering bucket),
+        so warmup costs log2(chunk/quant)+1 compiles per geometry in
+        exchange for live traffic never compiling.
         """
         quant = self._gop_quant
-        g = -(-chunk_gops // quant) * quant
+        top = -(-chunk_gops // quant) * quant
         size = self.input_size
         for geom in geometries:
             h, w = geom[0], geom[1]
             t_g = geom[2] if len(geom) > 2 else t
             cell_g = geom[3] if len(geom) > 3 else cell
-            fn = self._gop_program(g, t_g, h, w, cell_g, frames_per_gop)
-            cm_b = np.zeros((g, t_g, h // cell_g, w // cell_g, 2), np.int32)
-            if_b = np.zeros((g, h, w, 3), np.uint8)
-            fp_b = np.zeros((g, frames_per_gop, size, size, 3), np.uint8)
-            pk_b = np.ones((g, frames_per_gop), np.uint8)
-            buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
-            logits, _, _ = fn(jnp.asarray(buf))
-            jax.block_until_ready(logits)
+            for g in self._chunk_ladder(top):
+                fn = self._gop_program(g, t_g, h, w, cell_g,
+                                       frames_per_gop)
+                cm_b = np.zeros((g, t_g, h // cell_g, w // cell_g, 2),
+                                np.int32)
+                if_b = np.zeros((g, h, w, 3), np.uint8)
+                fp_b = np.zeros((g, frames_per_gop, size, size, 3),
+                                np.uint8)
+                pk_b = np.ones((g, frames_per_gop), np.uint8)
+                buf = self._pack_gop_buffer(cm_b, if_b, fp_b, pk_b)
+                logits, _, _ = fn(jnp.asarray(buf))
+                jax.block_until_ready(logits)
         for n in host_buckets:
             n = -(-int(n) // self._clip_bucket) * self._clip_bucket
             out = self._classify(
@@ -685,16 +709,21 @@ class DMCPredictor:
             """Pack one chunk and enqueue it on the device (async).  The
             program key quantizes tmax up (multiples of 12) and takes the
             chunk-wide min cell / max pick count, so chunks of similar
-            streams share executables (warmup precompiles t=12)."""
+            streams share executables (warmup precompiles t=12).  Ragged
+            tail chunks are padded only to the next `_chunk_ladder`
+            bucket, not to the full chunk_gops — the H2D bytes of padded
+            rows are pure waste through the RPC tunnel."""
             h, w = hw
+            g = next(s for s in self._chunk_ladder(chunk_gops)
+                     if s >= len(chunk))
             cell = min(c for *_, c, _ in chunk)
             tmax = max(12, -(-max(t for *_, t in chunk) // 12) * 12)
             n_pick = max(frames_per_gop,
                          max(len(pk) for *_, pk, _, _, _ in chunk))
             rows = [(cm, c, iframe, fp, pick)
                     for (_, cm, iframe, fp, pick, _, c, _) in chunk]
-            fn = self._gop_program(chunk_gops, tmax, h, w, cell, n_pick)
-            buf = self._pack_rows(rows, chunk_gops, tmax, h, w, cell, n_pick)
+            fn = self._gop_program(g, tmax, h, w, cell, n_pick)
+            buf = self._pack_rows(rows, g, tmax, h, w, cell, n_pick)
             logits, _, _ = fn(jnp.asarray(buf))
             in_flight.append((logits, chunk, n_pick))
 
@@ -753,7 +782,8 @@ class DMCPredictor:
             if buf:  # flush the ragged tail chunk of each geometry
                 dispatch(hw, buf)
         for logits, chunk, n_pick in in_flight:
-            lg = np.asarray(logits).reshape(chunk_gops, n_pick, -1)
+            lg = np.asarray(logits)
+            lg = lg.reshape(-1, n_pick, lg.shape[-1])
             for i, (p, *_, pick, w_, c, t) in enumerate(chunk):
                 per_video[p].append((lg[i, :len(pick)], w_))
         for p, rows in per_video.items():

@@ -157,6 +157,36 @@ def test_predict_videos_batched(tmp_path):
         np.testing.assert_allclose(b, hsc, atol=0.05)
 
 
+def test_predict_videos_tail_chunk_right_sized(tmp_path, monkeypatch):
+    """A ragged tail flush dispatches at the smallest covering
+    `_chunk_ladder` bucket, NOT the full chunk_gops: under the default
+    chunk_gops=64 a 2-GOP video used to ship a 64-row buffer (16x the
+    H2D bytes for zero extra scores).  Scores are unchanged."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dmcnet_tpu.serving import DMCPredictor
+
+    p = str(tmp_path / "v.avi")
+    _encode_panning(p, np.random.default_rng(40), n=26)  # 2 real GOPs
+    pred = _make_predictor()
+    assert pred._chunk_ladder(64) == [4, 8, 16, 32, 64]
+    assert pred._chunk_ladder(24) == [4, 8, 16, 24]
+
+    dispatched = []
+    orig = DMCPredictor._gop_program_impl
+
+    def spy(self, g, *a):
+        dispatched.append(g)
+        return orig(self, g, *a)
+
+    monkeypatch.setattr(DMCPredictor, "_gop_program_impl", spy)
+    with pltpu.force_tpu_interpret_mode():
+        batched = pred.predict_videos([p], chunk_gops=64)
+    assert dispatched == [4]
+    host = pred.predict_video(p, backend="host")
+    np.testing.assert_allclose(batched[0], host, atol=0.05)
+
+
 def test_predict_videos_mixed_geometry_and_fallback(tmp_path, monkeypatch):
     """predict_videos compiles one GOP program per (h, w) geometry group
     and, under backend="auto", falls back to the host-accumulate path for
