@@ -123,7 +123,7 @@ def update_extended(key, value, path="bench_extended.json"):
 def _measure_pipeline():
     import bench_pipeline
 
-    return bench_pipeline.measure()
+    return bench_pipeline.measure_ab()
 
 
 def _measure_train():

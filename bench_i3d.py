@@ -116,7 +116,7 @@ def measure_both():
     return out
 
 
-def measure_reference_recipe():
+def measure_reference_recipe(keys=None):
     """The shape the released models were actually trained with: clip 64 x
     batch 3 x iter-size 32 (reference code/dmcnet_I3D/train.sh
     `--clip-length 64 --batch-size 3 --iter-size 32`, flow+mp4).
@@ -128,6 +128,8 @@ def measure_reference_recipe():
     out = {}
 
     def safe(key, **kw):
+        if keys is not None and not any(s in key for s in keys):
+            return  # each config is a 10-25 min remote compile
         kw.setdefault("steps", 4)
         try:
             out[key] = measure(batch=3, t=64, warmup=1, **kw)["value"]
@@ -150,7 +152,7 @@ def measure_reference_recipe():
     # ~8.7 GB of resident f32 input; OOM here is a recorded outcome)
     safe("recipe_clip64_b3_iter32_packed_bf16_samples_per_sec",
          dtype=jnp.bfloat16, packed=4, iter_size=32, steps=1)
-    if isinstance(out["recipe_clip64_b3_f32_samples_per_sec"], str):
+    if isinstance(out.get("recipe_clip64_b3_f32_samples_per_sec"), str):
         safe("recipe_clip64_b3_f32_remat_samples_per_sec", remat=True)
     return out
 

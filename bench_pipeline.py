@@ -136,13 +136,22 @@ def measure(n_gops=32, gop_len=12, height=256, width=320, crop=224,
     }
 
 
+def measure_ab(gen_s=2):
+    """Base pipeline + the fold_norm A/B arm (normalize affine absorbed
+    into the packed generator weights — serving's default); one record."""
+    out = measure(gen_s=gen_s)
+    folded = measure(gen_s=gen_s, fold_norm=True)
+    out["fold_norm_clips_per_sec"] = folded["value"]
+    return out
+
+
 def main():
     import sys
 
     gen_s = int(sys.argv[1]) if len(sys.argv) > 1 else 2
-    out = measure(gen_s=gen_s)
-    folded = measure(gen_s=gen_s, fold_norm=True)
-    out["fold_norm_clips_per_sec"] = folded["value"]
+    out = measure_ab(gen_s=gen_s)
+    from bench import update_extended
+    update_extended("pipeline", out)
     print(json.dumps(out))
 
 

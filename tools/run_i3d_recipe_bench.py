@@ -23,7 +23,10 @@ def main():
     path = os.path.join(root, "bench_extended.json")
     with open(path) as f:
         section = json.load(f).get("i3d_train_step", {})
-    recipe = bench_i3d.measure_reference_recipe()
+    # argv key substrings select which configs to (re-)measure — each is
+    # a 10-25 min remote I3D compile, so re-measuring one key must not
+    # re-run (or overwrite) the rest
+    recipe = bench_i3d.measure_reference_recipe(keys=sys.argv[1:] or None)
     section.update(recipe)
     update_extended("i3d_train_step", section, path=path)
     print(json.dumps(recipe))
