@@ -93,6 +93,63 @@ def measure(batch=4, t=16, hw=224, steps=12, warmup=2, dtype=None,
     }
 
 
+def measure_chunked_recipe(batch=3, t=64, hw=224, chunk=4, iter_size=32,
+                           steps=2, warmup=1, dtype=jnp.bfloat16, packed=4):
+    """The FULL reference recipe (clip 64 x batch 3 x iter-size 32,
+    code/dmcnet_I3D/train.sh) via host-chunked accumulation
+    (engine_i3d.make_i3d_chunked_steps) — the monolithic stack is ~8.6 GB
+    of resident input and does not fit alongside the step's working set
+    on one chip.
+
+    One (chunk, B, ...) input block stays resident and is re-fed
+    iter_size/chunk times per macro step: identical device work to a real
+    macro step (same programs, same shapes — only the input VALUES
+    repeat), consistent with every other bench here keeping inputs
+    resident in HBM."""
+    assert iter_size % chunk == 0
+    from dmcnet_tpu.train.engine_i3d import make_i3d_chunked_steps
+
+    g_step, state, bd, args = build(batch, t, hw, dtype, chunk, False,
+                                    packed, True, False)
+    del g_step  # rebuilt chunked below on the same net/opts/state
+    # build() hands back (net-bound) steps only; recover net/opts via a
+    # fresh construction sharing the identical config
+    from dmcnet_tpu.models.i3d import I3D
+    from dmcnet_tpu.train.engine_i3d import make_i3d_optimizers
+
+    net = I3D(num_classes=51, modality="flow+mp4",
+              arch_estimator="DenseNetTiny", dtype=dtype,
+              packed_gen=packed)
+    opts = make_i3d_optimizers(state.params, optim="sgd")
+    _, _, g_accum, g_apply = make_i3d_chunked_steps(net, opts, adv=0.0)
+    key, lr, lr1, lr_d, wd, drop = args
+    n_chunks = iter_size // chunk
+
+    def macro(state):
+        carry = None
+        for _ in range(n_chunks):
+            carry = g_accum(state, bd, key, carry, drop)
+        return g_apply(state, carry, lr, lr1, lr_d, wd, drop)
+
+    def window(state, n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, m = macro(state)
+        sync = float(m["loss"]) + float(
+            jnp.sum(jax.tree.leaves(state.params)[0]))
+        assert np.isfinite(sync)
+        return time.perf_counter() - t0, state
+
+    _, state = window(state, warmup)
+    d1, state = window(state, steps)
+    d2, state = window(state, steps)
+    dt = min(d1, d2)
+    return {
+        "value": round(batch * iter_size * steps / dt, 2),
+        "unit": "samples/s",
+    }
+
+
 def measure_both():
     """Flagship train.sh recipe: stage-2 G step f32 as the headline
     (reference-faithful gradients), plus bf16 / packed-generator /
@@ -127,21 +184,29 @@ def measure_reference_recipe(keys=None):
     amortizes the optimizer), measured explicitly at 1 vs 4."""
     out = {}
 
-    def safe(key, **kw):
+    def safe(key, fn=None, **kw):
         if keys is not None and not any(s in key for s in keys):
             return  # each config is a 10-25 min remote compile
-        kw.setdefault("steps", 4)
+        if fn is None:
+            fn = lambda **k: measure(batch=3, t=64, warmup=1, **k)
+            kw.setdefault("steps", 4)
         try:
-            out[key] = measure(batch=3, t=64, warmup=1, **kw)["value"]
+            out[key] = fn(**kw)["value"]
         except Exception as exc:  # OOM at this shape is a result, not a bug
             # ... but an infra failure (tunnel drop mid-compile) is NOT —
             # recording it would mislabel a transient outage as "does not
-            # fit"; abort so the run is retried instead
+            # fit"; abort so the run is retried instead.  An HTTP 500 from
+            # the compile helper IS deterministic (a compile error — the
+            # detail, e.g. "Ran out of memory in memory space hbm", lands
+            # in the helper's stderr log, not the exception; the exception
+            # text is just the /remote_compile URL, which must NOT be
+            # mistaken for a transport failure).
             msg = f"{type(exc).__name__}: {exc}"
-            if any(s in msg for s in ("UNAVAILABLE", "remote_compile",
-                                      "transport", "DEADLINE")):
+            if ("HTTP 500" not in msg
+                    and any(s in msg for s in ("UNAVAILABLE", "transport",
+                                               "DEADLINE"))):
                 raise
-            out[key] = f"OOM/failed: {type(exc).__name__}"
+            out[key] = f"OOM/failed: {msg[:200]}"
 
     safe("recipe_clip64_b3_f32_samples_per_sec")
     safe("recipe_clip64_b3_packed_bf16_samples_per_sec",
@@ -152,6 +217,10 @@ def measure_reference_recipe(keys=None):
     # ~8.7 GB of resident f32 input; OOM here is a recorded outcome)
     safe("recipe_clip64_b3_iter32_packed_bf16_samples_per_sec",
          dtype=jnp.bfloat16, packed=4, iter_size=32, steps=1)
+    # the path that FITS at the full recipe: host-chunked accumulation
+    # (engine_i3d.make_i3d_chunked_steps; --accum-chunk in cli/train_i3d)
+    safe("recipe_clip64_b3_iter32_chunked4_packed_bf16_samples_per_sec",
+         fn=measure_chunked_recipe)
     if isinstance(out.get("recipe_clip64_b3_f32_samples_per_sec"), str):
         safe("recipe_clip64_b3_f32_remat_samples_per_sec", remat=True)
     return out

@@ -123,6 +123,15 @@ def build_parser(dataset_default="HMDB51"):
     p.add_argument('--workers', type=int, default=8,
                    help='host loader threads (the reference hardcodes '
                         'DataLoader num_workers=8, iterator_factory.py:184)')
+    p.add_argument('--accum-chunk', type=int, default=0,
+                   help='feed iter-size microbatches to the device in '
+                        'chunks of this many (0 = the whole stack in one '
+                        'jitted scan). Numerically equivalent '
+                        '(engine_i3d.make_i3d_chunked_steps); required '
+                        'when the full stack does not fit in HBM — the '
+                        'reference recipe (clip 64 x batch 3 x iter 32, '
+                        'train.sh) is ~8.6 GB of resident input '
+                        'monolithically.')
     # Multi-host (the reference's DDP vestige lives precisely in this
     # trainer: train_model.py:117-118, rank-seeded iterators :38-40,
     # hostname-suffixed checkpoints train/model.py:67-74).  When set, each
@@ -374,6 +383,30 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
         d_step, g_step = make_i3d_steps(net, opts, adv=args.adv, jit=False,
                                         detach=bool(args.detach),
                                         train_backbone=not frozen_backbone)
+        if args.accum_chunk and args.accum_chunk < args.iter_size:
+            # host-chunked accumulation (engine_i3d.make_i3d_chunked_steps):
+            # the loop feeds --accum-chunk microbatches per dispatch and
+            # carries (grad sums, batch_stats, rng, metric sums); required
+            # when the monolithic (iter_size, B, ...) stack does not fit in
+            # HBM (the reference recipe clip 64 x batch 3 x iter 32 is
+            # ~8.6 GB of resident input).  Numerically equivalent
+            # (tests/test_i3d_chunked.py).
+            if (args.tp and args.tp > 1) or args.fsdp:
+                raise SystemExit(
+                    "--accum-chunk composes with plain data parallelism "
+                    "only; --fsdp/--tp already cut per-chip residency by "
+                    "sharding state and batch over the mesh")
+            from dmcnet_tpu.parallel import make_sharded_chunked_steps
+            from dmcnet_tpu.train.engine_i3d import make_i3d_chunked_steps
+
+            raw = make_i3d_chunked_steps(
+                net, opts, adv=args.adv, jit=False,
+                detach=bool(args.detach),
+                train_backbone=not frozen_backbone)
+            wrapped = make_sharded_chunked_steps(raw, mesh, batch_axis=1)
+            d_step = (wrapped[0], wrapped[1])
+            g_step = (wrapped[2], wrapped[3])
+            return replicate_state(state, mesh), d_step, g_step, None
         if args.tp and args.tp > 1:
             # column-sharded kernels over 'model'; --fsdp additionally
             # ZeRO-3-shards the second kernel dim over 'data'
@@ -544,9 +577,9 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
                                  args.iter_size, args.batch_size,
                                  rows=local_rows),
             batches_per_epoch, workers=args.workers)
+        chunked = args.accum_chunk and args.accum_chunk < args.iter_size
         for i_batch, micros in enumerate(loader):
             t0 = time.time()
-            batch = place_train(stack_micro(micros))
             rng, srng = jax.random.split(rng)
             use_d = args.adv > 0 and i_batch % 2 == 0
             # Reference-exact scheduler advancement, including the
@@ -556,10 +589,20 @@ def main(argv=None, dataset_default="HMDB51", input_size=224):
             lr, lr1, lr_d = lr_driver.macro_step(epoch, use_d,
                                                  args.iter_size)
             fn = d_step if use_d else g_step
-            state, metrics = fn(state, batch, srng, jnp.float32(lr),
-                                jnp.float32(lr1), jnp.float32(lr_d or 0.0),
-                                jnp.float32(1e-4),
-                                jnp.asarray(epoch < 1))
+            lrs = (jnp.float32(lr), jnp.float32(lr1),
+                   jnp.float32(lr_d or 0.0), jnp.float32(1e-4))
+            drop = jnp.asarray(epoch < 1)
+            if chunked:
+                accum, apply = fn
+                carry = None
+                for c0 in range(0, args.iter_size, args.accum_chunk):
+                    chunk = place_train(stack_micro(
+                        micros[c0:c0 + args.accum_chunk]))
+                    carry = accum(state, chunk, srng, carry, drop)
+                state, metrics = apply(state, carry, *lrs, drop)
+            else:
+                batch = place_train(stack_micro(micros))
+                state, metrics = fn(state, batch, srng, *lrs, drop)
             n = args.batch_size * args.iter_size
             for k in ("loss", "loss_cls", "loss_mse", "top1"):
                 if k in metrics:

@@ -4,6 +4,7 @@ from dmcnet_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
     replicate_state,
+    make_sharded_chunked_steps,
     make_sharded_eval_step,
     make_sharded_train_step,
 )

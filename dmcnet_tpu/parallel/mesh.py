@@ -66,6 +66,39 @@ def make_sharded_train_step(step_fn, mesh, axis_name="data", batch_axis=0):
     return jax.jit(wrapped, donate_argnums=(0,))
 
 
+def make_sharded_chunked_steps(fns, mesh, axis_name="data", batch_axis=1):
+    """Mesh-wrap engine_i3d.make_i3d_chunked_steps(..., jit=False) output.
+
+    `fns` = (d_accum, d_apply, g_accum, g_apply).  State and the carried
+    (grad sums, batch_stats, rng, metric sums) accumulator stay replicated;
+    each chunk is sharded on its batch axis (axis 1 of the (C, B, ...)
+    stacked layout), so the partitioner inserts ONE gradient all-reduce
+    per accum call over ICI.  accum donates the chunk and the inbound
+    carry; apply donates state and carry (the monolithic wrapper's
+    donation contract, make_sharded_train_step)."""
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, _batch_spec(axis_name, batch_axis))
+
+    def wrap_accum(fn):
+        def w(state, chunk, rng, carry, drop):
+            chunk = jax.lax.with_sharding_constraint(chunk, data)
+            return jax.lax.with_sharding_constraint(
+                fn(state, chunk, rng, carry, drop), repl)
+
+        return jax.jit(w, donate_argnums=(1, 3))
+
+    def wrap_apply(fn):
+        def w(state, carry, *lrs):
+            st, metrics = fn(state, carry, *lrs)
+            return jax.lax.with_sharding_constraint(st, repl), metrics
+
+        return jax.jit(w, donate_argnums=(0, 1))
+
+    d_accum, d_apply, g_accum, g_apply = fns
+    return (wrap_accum(d_accum), wrap_apply(d_apply),
+            wrap_accum(g_accum), wrap_apply(g_apply))
+
+
 def make_sharded_eval_step(eval_fn, mesh, axis_name="data", batch_axis=0,
                            replicate_out=False):
     """Constrain an eval step to (replicated state, data-sharded batch).

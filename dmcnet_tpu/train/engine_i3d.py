@@ -117,6 +117,47 @@ def _forward_gan(model, params, batch_stats, mv_res, flow, rng, with_adv,
     return logits, gen, adv_logits, mutated["batch_stats"]
 
 
+def _scan_micros(params, bstats, batch, rng, loss_builder, live_keys=None):
+    """Scan the stacked microbatch axis (axis 0 of every batch leaf):
+    SUMMED grads + final batch_stats + threaded rng + per-metric SUMS.
+
+    `live_keys`: top-level param groups to differentiate (None = all);
+    grads of the rest are zeros (dead — XLA removes them).  Callers divide
+    the sums by the TOTAL microbatch count — which may span several
+    chained calls (make_i3d_chunked_steps), so the division cannot happen
+    here."""
+
+    def micro(carry, xs):
+        bs, rng = carry
+        mb, rng = jax.random.split(rng)
+
+        if live_keys is None:
+            def loss_fn(p):
+                return loss_builder(p, bs, xs, mb)
+
+            (loss, aux), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+        else:
+            live = {k: v for k, v in params.items() if k in live_keys}
+
+            def loss_fn(live):
+                merged = dict(params)
+                merged.update(live)
+                return loss_builder(merged, bs, xs, mb)
+
+            (loss, aux), g_live = jax.value_and_grad(
+                loss_fn, has_aux=True)(live)
+            grads = {k: (g_live[k] if k in g_live
+                         else jax.tree.map(jnp.zeros_like, v))
+                     for k, v in params.items()}
+        return (aux.pop("batch_stats"), rng), (grads, aux)
+
+    (bs, rng), (grads, auxes) = jax.lax.scan(micro, (bstats, rng), batch)
+    sum_grads = jax.tree.map(lambda g: g.sum(axis=0), grads)
+    msums = {k: v.sum(axis=0) for k, v in auxes.items()}
+    return sum_grads, bs, rng, msums
+
+
 def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
                    train_backbone=True, stop_gradient=False):
     """Returns (d_step, g_step).  Each:
@@ -145,41 +186,11 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
     has_gan = "d" in opts
 
     def accumulate(state, batch, rng, loss_builder, live_keys=None):
-        """Scan microbatches: SUMMED grads + final batch_stats + metrics.
-        `live_keys`: top-level param groups to differentiate (None = all);
-        grads of the rest are zeros (dead — XLA removes them)."""
-
-        def micro(carry, xs):
-            bs, rng = carry
-            mb, rng = jax.random.split(rng)
-
-            if live_keys is None:
-                def loss_fn(params):
-                    return loss_builder(params, bs, xs, mb)
-
-                (loss, aux), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(state.params)
-            else:
-                live = {k: v for k, v in state.params.items()
-                        if k in live_keys}
-
-                def loss_fn(live):
-                    merged = dict(state.params)
-                    merged.update(live)
-                    return loss_builder(merged, bs, xs, mb)
-
-                (loss, aux), g_live = jax.value_and_grad(
-                    loss_fn, has_aux=True)(live)
-                grads = {k: (g_live[k] if k in g_live
-                             else jax.tree.map(jnp.zeros_like, v))
-                         for k, v in state.params.items()}
-            return (aux.pop("batch_stats"), rng), (grads, aux)
-
-        (bs, _), (grads, auxes) = jax.lax.scan(
-            micro, (state.batch_stats, rng), batch)
-        sum_grads = jax.tree.map(lambda g: g.sum(axis=0), grads)
-        metrics = {k: v.mean() for k, v in auxes.items()}
-        return sum_grads, bs, metrics
+        sums, bs, _, msums = _scan_micros(
+            state.params, state.batch_stats, batch, rng, loss_builder,
+            live_keys)
+        n = batch["label"].shape[0]
+        return sums, bs, {k: v / n for k, v in msums.items()}
 
     def carry_in(state, sums):
         """torch .grad semantics: new backward sums ADD onto whatever the
@@ -202,7 +213,9 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
                     else jax.tree.map(jnp.zeros_like, v))
                 for k, v in acc.items()}
 
-    def d_step(state, batch, rng, lr, lr1, lr_d, wd, drop_cls):
+    def d_loss(drop_cls):
+        del drop_cls  # the D phase always keeps the cls term (model.py:389)
+
         def loss_builder(params, bstats, xs, mb):
             mv_res = jnp.concatenate([xs["mv"], xs["residual"]], axis=-1)
             logits, gen, adv_logits, bs = _forward_gan(
@@ -220,32 +233,9 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
                           "loss_cls": loss_cls, "loss_adv": loss_adv,
                           "top1": top1, "top5": top5, "acc_D_adv": acc_d}
 
-        iter_size = batch["label"].shape[0]
-        if train_backbone:
-            live = None
-        else:
-            # frozen backbone still needs the generator's adv-path grads
-            # when the torch carry is on: they survive this step's zero_grad
-            # and feed the next G step (model.py:401-404)
-            live = (("discriminator", "gen_flow_model")
-                    if state.grad_acc is not None else ("discriminator",))
-        sums, bstats, metrics = accumulate(state, batch, rng, loss_builder,
-                                           live_keys=live)
-        acc = carry_in(state, sums)
-        upd = jax.tree.map(lambda g: g / iter_size, acc)
-        if train_backbone:
-            params, opt_cls = opts["cls"].update(
-                upd, state.opt_cls, state.params, lr1, wd)
-        else:
-            params, opt_cls = state.params, state.opt_cls
-        params, opt_d = opts["d"].update(upd, state.opt_d, params, lr_d, wd)
-        return state.replace(params=params, batch_stats=bstats,
-                             opt_cls=opt_cls, opt_d=opt_d,
-                             grad_acc=carry_out(state, acc,
-                                                ("gen_flow_model",)),
-                             step=state.step + 1), metrics
+        return loss_builder
 
-    def g_step(state, batch, rng, lr, lr1, lr_d, wd, drop_cls):
+    def g_loss(drop_cls):
         def loss_builder(params, bstats, xs, mb):
             mv_res = jnp.concatenate([xs["mv"], xs["residual"]], axis=-1)
             logits, gen, adv_logits, bs = _forward_gan(
@@ -268,18 +258,43 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
                             "top5": top5})
             return loss, metrics
 
-        # G phase only steps the generator optimizer; gradients still flow
-        # THROUGH the (constant) discriminator for the adv term.
-        iter_size = batch["label"].shape[0]
+        return loss_builder
+
+    def d_live(has_carry):
         if train_backbone:
-            live = None
+            return None
+        # frozen backbone still needs the generator's adv-path grads
+        # when the torch carry is on: they survive this step's zero_grad
+        # and feed the next G step (model.py:401-404)
+        return (("discriminator", "gen_flow_model") if has_carry
+                else ("discriminator",))
+
+    def g_live(has_carry):
+        # G phase only steps the generator optimizer; gradients still flow
+        # THROUGH the (constant) discriminator for the adv term.  With the
+        # torch carry on, the adv term's discriminator grads survive this
+        # step's zero_grad and feed the next D step
+        if train_backbone:
+            return None
+        return (("gen_flow_model", "discriminator") if has_carry
+                else ("gen_flow_model",))
+
+    def d_apply(state, sums, bstats, metrics, iter_size, lr, lr1, lr_d, wd):
+        acc = carry_in(state, sums)
+        upd = jax.tree.map(lambda g: g / iter_size, acc)
+        if train_backbone:
+            params, opt_cls = opts["cls"].update(
+                upd, state.opt_cls, state.params, lr1, wd)
         else:
-            # with the torch carry on, the adv term's discriminator grads
-            # survive this step's zero_grad and feed the next D step
-            live = (("gen_flow_model", "discriminator")
-                    if state.grad_acc is not None else ("gen_flow_model",))
-        sums, bstats, metrics = accumulate(state, batch, rng, loss_builder,
-                                           live_keys=live)
+            params, opt_cls = state.params, state.opt_cls
+        params, opt_d = opts["d"].update(upd, state.opt_d, params, lr_d, wd)
+        return state.replace(params=params, batch_stats=bstats,
+                             opt_cls=opt_cls, opt_d=opt_d,
+                             grad_acc=carry_out(state, acc,
+                                                ("gen_flow_model",)),
+                             step=state.step + 1), metrics
+
+    def g_apply(state, sums, bstats, metrics, iter_size, lr, lr1, lr_d, wd):
         acc = carry_in(state, sums)
         upd = jax.tree.map(lambda g: g / iter_size, acc)
         new = {"batch_stats": bstats, "step": state.step + 1}
@@ -295,11 +310,104 @@ def make_i3d_steps(model, opts, *, adv=0.0, jit=True, detach=False,
                 state, acc, tuple(k for k in acc if k != "gen_flow_model"))
         return state.replace(**new), metrics
 
-    if jit:
-        # in-place state update on device (see engine.make_train_step)
-        return (jax.jit(d_step, donate_argnums=(0,)),
-                jax.jit(g_step, donate_argnums=(0,)))
-    return d_step, g_step
+    def d_step(state, batch, rng, lr, lr1, lr_d, wd, drop_cls):
+        sums, bstats, metrics = accumulate(
+            state, batch, rng, d_loss(drop_cls),
+            live_keys=d_live(state.grad_acc is not None))
+        return d_apply(state, sums, bstats, metrics,
+                       batch["label"].shape[0], lr, lr1, lr_d, wd)
+
+    def g_step(state, batch, rng, lr, lr1, lr_d, wd, drop_cls):
+        sums, bstats, metrics = accumulate(
+            state, batch, rng, g_loss(drop_cls),
+            live_keys=g_live(state.grad_acc is not None))
+        return g_apply(state, sums, bstats, metrics,
+                       batch["label"].shape[0], lr, lr1, lr_d, wd)
+
+    if not jit:
+        d_step.parts = (d_loss, d_live, d_apply)  # for the chunked factory
+        g_step.parts = (g_loss, g_live, g_apply)
+        return d_step, g_step
+    # in-place state update on device (see engine.make_train_step)
+    return (jax.jit(d_step, donate_argnums=(0,)),
+            jax.jit(g_step, donate_argnums=(0,)))
+
+
+def make_i3d_chunked_steps(model, opts, *, adv=0.0, jit=True, detach=False,
+                           train_backbone=True, stop_gradient=False,
+                           donate_chunk=False):
+    """Host-chunked gradient accumulation for the full reference recipe.
+
+    The monolithic in-step scan (make_i3d_steps) holds the entire
+    (iter_size, B, ...) clip stack resident in HBM — at the reference
+    train.sh shape (clip 64 x batch 3 x iter-size 32,
+    /root/reference/code/dmcnet_I3D/train.sh) that is ~8.6 GB of f32 input
+    before activations, past one v5e chip alongside the step's working
+    set.  These steps instead chain the SAME scan over host-fed chunks of
+    the microbatch stack, carrying (grad sums, batch_stats, rng, metric
+    sums) across calls; residency drops to one chunk.  The chaining is
+    numerically equivalent to the single scan — identical rng split chain,
+    identical batch_stats threading, grad/metric sums reassociated only at
+    chunk boundaries (tests/test_i3d_chunked.py asserts == monolithic,
+    including the torch .grad carry across alternating D/G macro steps).
+
+    Returns (d_accum, d_apply, g_accum, g_apply):
+      accum(state, chunk, rng, carry, drop_cls) -> carry
+        `chunk`: (C, B, ...) stacked microbatches (C may vary per call —
+        each distinct C compiles once).  `carry=None` opens a macro step
+        and consumes `rng`; subsequent calls thread carry["rng"] (the
+        `rng` argument is ignored then).  `state` is read, not donated.
+      apply(state, carry, lr, lr1, lr_d, wd, drop_cls) -> (state, metrics)
+        closes the macro step: torch-carry merge, grad division by the
+        TOTAL microbatch count, optimizer updates — byte-for-byte the
+        monolithic steps' tail.  Donates state and carry.
+
+    `donate_chunk=True` additionally donates the chunk input buffers to
+    accum (frees each chunk's HBM as soon as its grads are folded) — off
+    by default so callers may re-feed a resident chunk (bench_i3d.py)."""
+    raw_d, raw_g = make_i3d_steps(
+        model, opts, adv=adv, jit=False, detach=detach,
+        train_backbone=train_backbone, stop_gradient=stop_gradient)
+
+    def make_accum(loss_of, live_of):
+        def accum(state, chunk, rng, carry, drop_cls):
+            has_carry = state.grad_acc is not None
+            bstats = state.batch_stats if carry is None else carry["bstats"]
+            if carry is not None:
+                rng = carry["rng"]
+            sums, bstats, rng, msums = _scan_micros(
+                state.params, bstats, chunk, rng, loss_of(drop_cls),
+                live_of(has_carry))
+            n = jnp.int32(chunk["label"].shape[0])
+            if carry is not None:
+                sums = jax.tree.map(jnp.add, carry["sums"], sums)
+                msums = {k: carry["msums"][k] + v for k, v in msums.items()}
+                n = carry["n"] + n
+            return {"sums": sums, "bstats": bstats, "rng": rng,
+                    "msums": msums, "n": n}
+
+        return accum
+
+    def make_apply(apply_fn):
+        def apply(state, carry, lr, lr1, lr_d, wd, drop_cls):
+            del drop_cls  # consumed at accumulation time (it shapes grads)
+            metrics = {k: v / carry["n"] for k, v in carry["msums"].items()}
+            return apply_fn(state, carry["sums"], carry["bstats"], metrics,
+                            carry["n"], lr, lr1, lr_d, wd)
+
+        return apply
+
+    d_accum = make_accum(raw_d.parts[0], raw_d.parts[1])
+    g_accum = make_accum(raw_g.parts[0], raw_g.parts[1])
+    d_apply = make_apply(raw_d.parts[2])
+    g_apply = make_apply(raw_g.parts[2])
+    if not jit:
+        return d_accum, d_apply, g_accum, g_apply
+    donate = (1, 3) if donate_chunk else (3,)
+    return (jax.jit(d_accum, donate_argnums=donate),
+            jax.jit(d_apply, donate_argnums=(0, 1)),
+            jax.jit(g_accum, donate_argnums=donate),
+            jax.jit(g_apply, donate_argnums=(0, 1)))
 
 
 def make_i3d_eval_step(model, jit=True):

@@ -111,6 +111,12 @@ def _rows(ext):
     i3d("I3D recipe clip64 b3 packed-bf16",
         "recipe_clip64_b3_packed_bf16_samples_per_sec", "bf16",
         useful_t=64, batch=3, t=64, dtype=jnp.bfloat16, packed=4)
+    # chunked full recipe: per-sample FLOPs == the monolithic count (the
+    # chunk chain re-runs the same per-micro graph; the carry adds are
+    # O(params), <0.01% of a 1.9-TFLOP sample)
+    i3d("I3D recipe clip64 b3 iter32 chunked4 packed-bf16",
+        "recipe_clip64_b3_iter32_chunked4_packed_bf16_samples_per_sec",
+        "bf16", useful_t=64, batch=3, t=64, dtype=jnp.bfloat16, packed=4)
     i3d("I3D recipe clip64 b3 f32(+remat)",
         "recipe_clip64_b3_f32_remat_samples_per_sec", "f32",
         batch=3, t=64, remat=True)
